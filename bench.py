@@ -1,0 +1,75 @@
+"""Benchmark: train-step throughput of the base RNN-T on one chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "audio-seconds/s/chip", "vs_baseline": N}
+
+Baseline anchor: the reference trains 960 h of Librispeech in ~4 h on one
+RTX 3090 (reference README.md:20) ≈ 240 audio-seconds/s.  ``vs_baseline``
+is measured-throughput / 240.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SECONDS_PER_S = 240.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship, _synthetic_batch
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.optim import make_optimizer
+    from rnnt_tpu.train.step import TrainState, make_train_step
+
+    cfg, spec, fspec = _flagship()
+
+    batch_size = 8
+    seconds = 5.0
+    max_tokens = 64
+
+    tx, _ = make_optimizer(cfg.training, total_steps=1000)
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    opt_state = jax.jit(tx.init)(params)
+    state = TrainState(params, opt_state, model_state,
+                       jnp.zeros((), jnp.int32))
+
+    batch = _synthetic_batch(fspec, batch=batch_size, seconds=seconds,
+                             max_tokens=max_tokens,
+                             vocab=cfg.num_total_symbols)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    step = jax.jit(make_train_step(spec, fspec, tx, cfg.training.precision),
+                   donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+
+    # Warmup (compile + first run).
+    for _ in range(2):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    audio_seconds = float(np.sum(np.asarray(batch["audio_lens"]))) / fspec.sample_rate
+    value = audio_seconds * iters / dt
+    print(json.dumps({
+        "metric": "train audio-seconds/s/chip (base RNN-T)",
+        "value": round(value, 2),
+        "unit": "audio-seconds/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

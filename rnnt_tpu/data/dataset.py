@@ -1,0 +1,198 @@
+"""Datasets and static-shape batching.
+
+Capability parity with the reference data layer (reference rnnt/dataset.py):
+Librispeech / CommonVoice via HF datasets (:10-28), per-utterance
+augment → tokenize processing (:45-64), and padded batch collation (:67-87).
+
+TPU-native restructuring:
+  * featurization moves *into the jitted train/eval step* (the STFT is an
+    MXU conv; see rnnt_tpu/ops/stft.py) — the host ships raw int16-scale
+    float audio, not spectrograms.  On a weak host this is the difference
+    between starving the chip and saturating it.
+  * the reference's dynamic shapes + ``max_joint_size`` batch halving
+    (rnnt/train.py:120-130) become (sample, token) bucket padding: XLA sees
+    a small, fixed set of shapes and never recompiles mid-run.
+  * a synthetic dataset stands in when no corpus is on disk (zero-egress
+    environments); same interface.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from rnnt_tpu.data.tokenizer import UnigramTokenizer
+from rnnt_tpu.ops.stft import FeaturizerSpec
+
+_WORDS = (
+    "the of and to in a is that it was for on are as with his they at be "
+    "this have from or one had by word but not what all were we when your "
+    "can said there use an each which she how their if will up other about "
+    "out many then them these so some her would make like him into time has "
+    "look two more write go see number no way could people my than first "
+    "water been call who oil its now find long down day did get come made "
+    "may part over new sound take only little work know place year live me "
+    "back give most very after thing our just name good sentence man think "
+    "say great where help through much before line right too mean old any "
+    "same tell boy follow came want show also around form three small set "
+    "put end does another well large must big even such because turn here "
+    "why ask went men read need land different home us move try kind hand "
+    "picture again change off play spell air away animal house point page "
+    "letter mother answer found study still learn should world high every "
+    "near add food between own below country plant last school father keep "
+    "tree never start city earth eye light thought head under story saw "
+    "left dont few while along might close something seem next hard open "
+    "example begin life always those both paper together got group often run"
+).split()
+
+
+def synthetic_dataset(size: int, seconds: float, sample_rate: int = 16000,
+                      seed: int = 0) -> list[dict]:
+    """Deterministic synthetic corpus: band-limited noise + random text.
+    Mirrors the HF row shape: {"audio": {"array", "sampling_rate"}, "text"}."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for _ in range(size):
+        n = int(seconds * sample_rate * rng.uniform(0.6, 1.0))
+        audio = rng.randn(n).astype(np.float32) * 0.05
+        # A few random tones so the spectrogram has structure.
+        t = np.arange(n) / sample_rate
+        for _ in range(3):
+            f = rng.uniform(100, 4000)
+            audio += (rng.uniform(0.02, 0.1)
+                      * np.sin(2 * np.pi * f * t).astype(np.float32))
+        n_words = rng.randint(3, 12)
+        text = " ".join(rng.choice(_WORDS) for _ in range(n_words))
+        rows.append({"audio": {"array": audio, "sampling_rate": sample_rate},
+                     "text": text})
+    return rows
+
+
+def librispeech_dataset(splits: Sequence[str], cache_dir: str = ""):
+    """HF librispeech_asr splits, concatenated
+    (reference rnnt/dataset.py:10-14, rnnt/train.py:52-56)."""
+    import datasets as hf_datasets
+
+    parts = []
+    for split in splits:
+        ds = hf_datasets.load_dataset(
+            "librispeech_asr", cache_dir=cache_dir or None, split=split)
+        parts.append(ds)
+    if len(parts) == 1:
+        return parts[0]
+    return hf_datasets.concatenate_datasets(parts)
+
+
+def commonvoice_dataset(split: str, cache_dir: str = ""):
+    """CommonVoice 16.1 (en), resampled to 16 kHz, 'sentence' → 'text'
+    (reference rnnt/dataset.py:16-28)."""
+    import datasets as hf_datasets
+
+    ds = hf_datasets.load_dataset(
+        "mozilla-foundation/common_voice_16_1", "en", split=split,
+        cache_dir=cache_dir or None)
+    ds = ds.cast_column("audio", hf_datasets.Audio(sampling_rate=16_000))
+
+    def fixup(row):
+        row["text"] = row["sentence"]
+        return row
+
+    return ds.map(fixup)
+
+
+@dataclass
+class Buckets:
+    """Static-shape padding targets: samples (audio) and tokens (text)."""
+    sample_buckets: tuple[int, ...]
+    token_buckets: tuple[int, ...]
+
+    @classmethod
+    def from_frames(cls, frame_buckets: Sequence[int],
+                    token_buckets: Sequence[int],
+                    spec: FeaturizerSpec) -> "Buckets":
+        samples = tuple(spec.win_length + (f - 1) * spec.hop_length
+                        for f in sorted(frame_buckets))
+        return cls(samples, tuple(sorted(token_buckets)))
+
+    def pick(self, n_samples: int, n_tokens: int) -> tuple[int, int] | None:
+        """Smallest bucket fitting the utterance, or None (drop too-long)."""
+        s = next((b for b in self.sample_buckets if b >= n_samples), None)
+        t = next((b for b in self.token_buckets if b >= n_tokens), None)
+        if s is None or t is None:
+            return None
+        return s, t
+
+
+class BatchIterator:
+    """Tokenize, augment, bucket-pad, and batch a dataset.
+
+    Yields numpy batches {"audio": (B, S) f32, "audio_lens": (B,) i32,
+    "targets": (B, U) i32, "target_lens": (B,) i32} where (S, U) come from
+    a fixed bucket grid.  Utterances are grouped per bucket so every batch
+    is shape-uniform (bounded XLA compilation count).
+    """
+
+    def __init__(self, dataset, tokenizer: UnigramTokenizer, buckets: Buckets,
+                 batch_size: int, *, augmentor=None, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True,
+                 max_batches: int | None = None):
+        self.dataset = dataset
+        self.tokenizer = tokenizer
+        self.buckets = buckets
+        self.batch_size = batch_size
+        self.augmentor = augmentor
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.max_batches = max_batches
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        rng = np.random.RandomState(self.seed)
+        if self.shuffle:
+            rng.shuffle(order)
+        pending: dict[tuple[int, int], list] = {}
+        emitted = 0
+        for idx in order:
+            row = self.dataset[int(idx)]
+            audio = np.asarray(row["audio"]["array"], dtype=np.float32)
+            sr = row["audio"].get("sampling_rate", 16000)
+            if self.augmentor is not None:
+                audio = self.augmentor(audio, sr)
+            tokens = self.tokenizer.encode(row["text"].lower())
+            if len(tokens) == 0:
+                continue
+            b = self.buckets.pick(len(audio), len(tokens))
+            if b is None:
+                continue  # too long for any bucket; drop (logged by caller)
+            pending.setdefault(b, []).append((audio, tokens))
+            if len(pending[b]) == self.batch_size:
+                yield self._collate(pending.pop(b), b)
+                emitted += 1
+                if self.max_batches and emitted >= self.max_batches:
+                    return
+        if not self.drop_last:
+            for b, items in pending.items():
+                if items:
+                    yield self._collate(items, b)
+                    emitted += 1
+                    if self.max_batches and emitted >= self.max_batches:
+                        return
+
+    def _collate(self, items, bucket) -> dict:
+        S, U = bucket
+        B = len(items)
+        audio = np.zeros((B, S), np.float32)
+        audio_lens = np.zeros((B,), np.int32)
+        targets = np.zeros((B, U), np.int32)
+        target_lens = np.zeros((B,), np.int32)
+        for i, (a, toks) in enumerate(items):
+            audio[i, : len(a)] = a
+            audio_lens[i] = len(a)
+            targets[i, : len(toks)] = toks
+            target_lens[i] = len(toks)
+        return {"audio": audio, "audio_lens": audio_lens,
+                "targets": targets, "target_lens": target_lens}

@@ -1,0 +1,255 @@
+"""Jasper-style causal convolutional audio encoder (arXiv 1904.03288).
+
+Capability parity with the reference encoder (reference rnnt/jasper.py:90-183):
+prologue CausalConv stride-2 downsample, N Jasper blocks (num_sub_blocks
+causal convs + norm + GELU + dropout with a 1x1-conv residual added before
+the last sub-block's activation), a dilated epilogue conv, and a 1x1 output
+conv; batch/instance/instance_affine norm selection; a streaming forward
+that threads per-conv carry states; and the output-length arithmetic.
+
+TPU-native design:
+  * `(B, T, C)` layout; every conv is an MXU-friendly `conv_general_dilated`.
+  * params/state are explicit pytrees; `encoder_apply` is a pure function
+    that's jitted as part of the train step — no module objects.
+  * streaming states form a flat tuple pytree (one carry array per causal
+    conv) that lives on device between chunks; `lax`-compatible so whole
+    streaming sessions can sit under one `jit`.
+
+Divergence from the reference (deliberate): a sub-block with
+``additional_context > 0`` shortens its output by ``additional_context``
+frames; the reference adds an unshortened residual which *crashes* today
+(rnnt/jasper.py:47-64 with config basic_sp_convjs.yaml:41).  Here the
+residual is trimmed to the first ``T_out`` frames so bounded lookahead
+composes correctly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from rnnt_tpu.ops.causal_conv import (
+    ConvSpec,
+    causal_conv_apply,
+    causal_conv_init,
+    causal_conv_out_len,
+    causal_conv_streaming,
+    conv1x1_apply,
+    conv1x1_init,
+    streaming_init_state,
+)
+from rnnt_tpu.ops.norm import norm_apply, norm_init
+
+
+@dataclass(frozen=True)
+class JasperBlockSpec:
+    kernel_size: int
+    in_channels: int
+    out_channels: int
+    dropout: float
+    num_sub_blocks: int
+    norm_type: str = "batch"
+    additional_context: int = 0
+
+    def conv_spec(self, i: int) -> ConvSpec:
+        cin = self.in_channels if i == 0 else self.out_channels
+        return ConvSpec(cin, self.out_channels, self.kernel_size, 1, 1,
+                        additional_context=self.additional_context)
+
+
+@dataclass(frozen=True)
+class EncoderSpec:
+    input_features: int = 80
+    prologue_kernel_size: int = 11
+    prologue_stride: int = 2
+    prologue_dilation: int = 1
+    blocks: tuple[JasperBlockSpec, ...] = ()
+    epilogue_features: int = 896
+    epilogue_kernel_size: int = 29
+    epilogue_stride: int = 1
+    epilogue_dilation: int = 2
+    output_features: int = 1024
+    norm_type: str = "batch"
+
+    @property
+    def prologue_spec(self) -> ConvSpec:
+        first = self.blocks[0].in_channels if self.blocks else self.epilogue_features
+        return ConvSpec(self.input_features, first, self.prologue_kernel_size,
+                        self.prologue_stride, self.prologue_dilation)
+
+    @property
+    def epilogue_spec(self) -> ConvSpec:
+        last = self.blocks[-1].out_channels if self.blocks else self.prologue_spec.out_channels
+        return ConvSpec(last, self.epilogue_features, self.epilogue_kernel_size,
+                        self.epilogue_stride, self.epilogue_dilation)
+
+    def conv_specs(self) -> list[ConvSpec]:
+        """All causal convs in order (prologue, block sub-convs, epilogue) —
+        the streaming-state layout."""
+        specs = [self.prologue_spec]
+        for b in self.blocks:
+            specs.extend(b.conv_spec(i) for i in range(b.num_sub_blocks))
+        specs.append(self.epilogue_spec)
+        return specs
+
+
+def encoder_init(key: jax.Array, spec: EncoderSpec, dtype=jnp.float32):
+    """Returns (params, state) pytrees.  state holds batch-norm running stats."""
+    keys = jax.random.split(key, 4 + len(spec.blocks))
+
+    pro_params = {"conv": causal_conv_init(keys[0], spec.prologue_spec, dtype)}
+    pro_norm, pro_state = norm_init(spec.prologue_spec.out_channels, spec.norm_type, dtype)
+    pro_params["norm"] = pro_norm
+
+    block_params, block_states = [], []
+    for bi, b in enumerate(spec.blocks):
+        bkeys = jax.random.split(keys[1 + bi], b.num_sub_blocks + 1)
+        convs, norms, nstates = [], [], []
+        for i in range(b.num_sub_blocks):
+            convs.append(causal_conv_init(bkeys[i], b.conv_spec(i), dtype))
+            np_, ns_ = norm_init(b.out_channels, b.norm_type, dtype)
+            norms.append(np_)
+            nstates.append(ns_)
+        res_conv = conv1x1_init(bkeys[-1], b.in_channels, b.out_channels, dtype)
+        res_norm, res_state = norm_init(b.out_channels, b.norm_type, dtype)
+        block_params.append({"convs": convs, "norms": norms,
+                             "residual_conv": res_conv, "residual_norm": res_norm})
+        block_states.append({"norms": nstates, "residual_norm": res_state})
+
+    epi_params = {"conv": causal_conv_init(keys[-3], spec.epilogue_spec, dtype)}
+    epi_norm, epi_state = norm_init(spec.epilogue_features, spec.norm_type, dtype)
+    epi_params["norm"] = epi_norm
+
+    out_params = conv1x1_init(keys[-2], spec.epilogue_features, spec.output_features, dtype)
+
+    params = {"prologue": pro_params, "blocks": block_params,
+              "epilogue": epi_params, "out": out_params}
+    state = {"prologue": pro_state, "blocks": block_states, "epilogue": epi_state}
+    return params, state
+
+
+def _dropout(x, rate, training, rng):
+    if not training or rate == 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _block_apply(params, state, x, b: JasperBlockSpec, training, rng):
+    residual = conv1x1_apply(params["residual_conv"], x)
+    residual, res_state = norm_apply(params["residual_norm"], state["residual_norm"],
+                                     residual, b.norm_type, training)
+    new_nstates = []
+    for i in range(b.num_sub_blocks):
+        sub_rng = None
+        if rng is not None:
+            rng, sub_rng = jax.random.split(rng)
+        x = causal_conv_apply(params["convs"][i], x, b.conv_spec(i))
+        x, ns = norm_apply(params["norms"][i], state["norms"][i], x, b.norm_type, training)
+        new_nstates.append(ns)
+        if i == b.num_sub_blocks - 1:
+            # Lookahead shortens x; align the residual to the surviving frames.
+            x = x + residual[:, : x.shape[1], :]
+        x = jax.nn.gelu(x)
+        x = _dropout(x, b.dropout, training, sub_rng)
+    return x, {"norms": new_nstates, "residual_norm": res_state}
+
+
+def encoder_apply(params, state, x, spec: EncoderSpec, *, training: bool = False,
+                  rng: jax.Array | None = None):
+    """Batch-mode forward.  x: (B, T, input_features) ->
+    ((B, T', output_features), new_state)."""
+    x = causal_conv_apply(params["prologue"]["conv"], x, spec.prologue_spec)
+    x, pro_state = norm_apply(params["prologue"]["norm"], state["prologue"], x,
+                              spec.norm_type, training)
+    x = jax.nn.gelu(x)
+
+    new_block_states = []
+    for bi, b in enumerate(spec.blocks):
+        brng = None
+        if rng is not None:
+            rng, brng = jax.random.split(rng)
+        x, bs = _block_apply(params["blocks"][bi], state["blocks"][bi], x, b,
+                             training, brng)
+        new_block_states.append(bs)
+
+    x = causal_conv_apply(params["epilogue"]["conv"], x, spec.epilogue_spec)
+    x, epi_state = norm_apply(params["epilogue"]["norm"], state["epilogue"], x,
+                              spec.norm_type, training)
+    x = jax.nn.gelu(x)
+
+    x = conv1x1_apply(params["out"], x)
+    new_state = {"prologue": pro_state, "blocks": new_block_states,
+                 "epilogue": epi_state}
+    return x, new_state
+
+
+def encoder_out_len(in_len, spec: EncoderSpec):
+    """Replay the conv length arithmetic (reference rnnt/jasper.py:172-183).
+    Works on ints or integer arrays."""
+    out = in_len
+    for cs in spec.conv_specs():
+        out = causal_conv_out_len(out, cs)
+    return out
+
+
+# ----------------------------- streaming path -----------------------------
+
+def encoder_streaming_init_state(batch_size: int, spec: EncoderSpec,
+                                 dtype=jnp.float32) -> tuple:
+    """Zero carry states, one per causal conv, sized (B, (k-1)d-s+1, Cin)
+    (reference rnnt/jasper.py:159-170)."""
+    return tuple(streaming_init_state(batch_size, cs, dtype)
+                 for cs in spec.conv_specs())
+
+
+def encoder_streaming_apply(params, state, x, conv_states: tuple,
+                            spec: EncoderSpec):
+    """Streaming forward threading per-conv carry states
+    (reference rnnt/jasper.py:141-157).  Inference-only (training=False), so
+    norm running stats are read but not updated.  Note: instance norms are
+    computed over the chunk and therefore only match batch mode
+    approximately; batch norm (frozen stats) is streaming-exact — the same
+    trade-off the reference documents (rnnt/jasper.py:9-14).
+
+    Returns (y, new_conv_states).
+    """
+    si = 0
+    new_states = []
+
+    def step_conv(p, xx, cs):
+        nonlocal si
+        y, ns = causal_conv_streaming(p, xx, conv_states[si], cs)
+        new_states.append(ns)
+        si += 1
+        return y
+
+    x = step_conv(params["prologue"]["conv"], x, spec.prologue_spec)
+    x, _ = norm_apply(params["prologue"]["norm"], state["prologue"], x,
+                      spec.norm_type, training=False)
+    x = jax.nn.gelu(x)
+
+    for bi, b in enumerate(spec.blocks):
+        bp, bs = params["blocks"][bi], state["blocks"][bi]
+        residual = conv1x1_apply(bp["residual_conv"], x)
+        residual, _ = norm_apply(bp["residual_norm"], bs["residual_norm"],
+                                 residual, b.norm_type, training=False)
+        for i in range(b.num_sub_blocks):
+            x = step_conv(bp["convs"][i], x, b.conv_spec(i))
+            x, _ = norm_apply(bp["norms"][i], bs["norms"][i], x, b.norm_type,
+                              training=False)
+            if i == b.num_sub_blocks - 1:
+                x = x + residual[:, : x.shape[1], :]
+            x = jax.nn.gelu(x)
+
+    x = step_conv(params["epilogue"]["conv"], x, spec.epilogue_spec)
+    x, _ = norm_apply(params["epilogue"]["norm"], state["epilogue"], x,
+                      spec.norm_type, training=False)
+    x = jax.nn.gelu(x)
+
+    x = conv1x1_apply(params["out"], x)
+    return x, tuple(new_states)

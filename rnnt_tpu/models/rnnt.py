@@ -1,0 +1,97 @@
+"""RNN-T model assembly: encoder + predictor + joint + transducer loss.
+
+Capability parity with the reference container (reference rnnt/model.py:6-43):
+prepend blank to the targets, run predictor and encoder, compute output
+lengths, apply the joint over the lattice, return the mean transducer loss.
+
+Here ``rnnt_loss_apply`` is a pure function of (params, state, batch, rng)
+designed to sit inside one jitted, sharded train step; the joint+loss is the
+memory-bounded chunked path (or the Pallas kernel), never the materialized
+(B, T, U, V) lattice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from rnnt_tpu.models.encoder import EncoderSpec, encoder_apply, encoder_init, encoder_out_len
+from rnnt_tpu.models.joint import JointSpec, joint_init
+from rnnt_tpu.models.predictor import (
+    ConvPredictorSpec,
+    LSTMPredictorSpec,
+    predictor_apply,
+    predictor_init,
+)
+from rnnt_tpu.ops.transducer import transducer_loss
+
+
+@dataclass(frozen=True)
+class RNNTSpec:
+    encoder: EncoderSpec
+    predictor: Union[ConvPredictorSpec, LSTMPredictorSpec]
+    joint: JointSpec
+    # Loss chunking along T; tune to the HBM budget.
+    loss_chunk_size: int = 32
+
+    @property
+    def blank_idx(self) -> int:
+        return self.joint.blank_idx
+
+
+def rnnt_init(key: jax.Array, spec: RNNTSpec, dtype=jnp.float32):
+    """Returns (params, state) pytrees for the whole model."""
+    ek, pk, jk = jax.random.split(key, 3)
+    enc_params, enc_state = encoder_init(ek, spec.encoder, dtype)
+    params = {
+        "encoder": enc_params,
+        "predictor": predictor_init(pk, spec.predictor, dtype),
+        "joint": joint_init(jk, spec.joint, dtype),
+    }
+    state = {"encoder": enc_state}
+    return params, state
+
+
+def prepend_blank(targets: jax.Array, blank_idx: int) -> jax.Array:
+    """(B, U) -> (B, U+1) with the blank symbol first
+    (reference rnnt/model.py:20-21)."""
+    B = targets.shape[0]
+    blank_col = jnp.full((B, 1), blank_idx, dtype=targets.dtype)
+    return jnp.concatenate([blank_col, targets], axis=1)
+
+
+def rnnt_forward(params, state, features, spec: RNNTSpec, targets, *,
+                 training: bool = False, rng: jax.Array | None = None):
+    """Run encoder + predictor.  Returns (audio (B,T',H), text (B,U+1,H),
+    new_state)."""
+    erng = prng = None
+    if rng is not None:
+        erng, prng = jax.random.split(rng)
+    prepended = prepend_blank(targets, spec.blank_idx)
+    text = predictor_apply(params["predictor"], prepended, spec.predictor,
+                           training=training, rng=prng)
+    audio, enc_state = encoder_apply(params["encoder"], state["encoder"],
+                                     features, spec.encoder,
+                                     training=training, rng=erng)
+    return audio, text, {"encoder": enc_state}
+
+
+def rnnt_loss_apply(params, state, batch: dict, spec: RNNTSpec, *,
+                    training: bool = False, rng: jax.Array | None = None):
+    """Compute the scalar mean transducer loss for a padded batch.
+
+    batch: {"features": (B, T, F) float, "feature_lens": (B,) int,
+            "targets": (B, U) int, "target_lens": (B,) int}.
+    Returns (loss, new_state).
+    """
+    audio, text, new_state = rnnt_forward(
+        params, state, batch["features"], spec, batch["targets"],
+        training=training, rng=rng)
+    t_lens = encoder_out_len(batch["feature_lens"], spec.encoder)
+    loss = transducer_loss(
+        params["joint"], audio, text, batch["targets"], t_lens,
+        batch["target_lens"], spec.blank_idx, chunk_size=spec.loss_chunk_size)
+    return loss, new_state

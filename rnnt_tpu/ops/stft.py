@@ -1,0 +1,203 @@
+"""Spectrogram featurizers as pure jittable functions, plus streaming chunking.
+
+Capability parity with the reference's four featurizers (reference
+rnnt/featurizer.py:18-156): 201-bin power STFT (n_fft=win=400, hop=160,
+Hann, center=False, onesided), two piecewise-linear-log variants, an 80-mel
+variant, and scalar or per-channel mean/invstddev normalization.  All
+variants are frame-exact streamable: a chunk featurized with a
+``win - hop = 240``-sample overlap equals the corresponding slice of the
+full-utterance output (reference rnnt-js/featurizer.js:79-107).
+
+TPU-native design: instead of an FFT, the STFT is one convolution with a
+(win, 1, 2*bins) windowed-DFT basis — a single MXU matmul per hop, which at
+400x402 is far below the FLOP cost of the encoder and lets XLA fuse the
+power/log/normalize chain into the conv output.  Output layout is
+time-major feature-last ``(B, frames, bins)``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Gain used by the "old piecewise" log (reference rnnt/featurizer.py:41-44,
+# 131-133): 10 ** (0.05 * 2 * 20 * log10(int16_max)) == int16_max ** 2.
+_INT16_GAIN = float(np.iinfo(np.int16).max) ** 2
+
+
+@dataclass(frozen=True)
+class FeaturizerSpec:
+    """Static featurizer description.  ``log_mode`` selects the compression:
+
+    * ``"piecewise"``  — log above ``x_cutoff``, linear below (reference
+      TFJSSpectrogram, rnnt/featurizer.py:9-15,96-99).
+    * ``"old_piecewise"`` — multiply by the int16 gain, then log above e,
+      divide by e below (reference TFJSOldPiecewiseSpectrogram,
+      rnnt/featurizer.py:131-134).
+    * ``"log"`` — plain log(x + 1e-6).
+    """
+
+    n_fft: int = 400
+    win_length: int = 400
+    hop_length: int = 160
+    num_mels: int = 0          # 0 => linear power spectrogram (n_fft//2+1 bins)
+    sample_rate: int = 16000   # only used for the mel filterbank
+    log_mode: str = "piecewise"
+    x_cutoff: float = 10e-3
+    slope: float = 50.0
+    mean: tuple | float = 15.0        # scalar or per-channel tuple
+    invstddev: tuple | float = 0.25
+
+    @property
+    def num_bins(self) -> int:
+        return self.num_mels if self.num_mels else self.n_fft // 2 + 1
+
+    @property
+    def overlap(self) -> int:
+        """Samples of history a streaming chunk must keep: win - hop."""
+        return self.win_length - self.hop_length
+
+    def num_frames(self, num_samples: int) -> int:
+        if num_samples < self.win_length:
+            return 0
+        return (num_samples - self.win_length) // self.hop_length + 1
+
+
+def _hann(win_length: int) -> np.ndarray:
+    # Periodic Hann, matching torch.hann_window's default.
+    n = np.arange(win_length)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * n / win_length))).astype(np.float32)
+
+
+def _dft_basis(spec: FeaturizerSpec) -> np.ndarray:
+    """Windowed real-DFT basis, shape (win, 1, 2*(n_fft//2+1)): all cosines
+    then all sines.  Conv with this at the hop stride == onesided STFT."""
+    bins = spec.n_fft // 2 + 1
+    k = np.arange(spec.win_length)[:, None]
+    f = np.arange(bins)[None, :]
+    angle = 2.0 * np.pi * f * k / spec.n_fft
+    window = _hann(spec.win_length)[:, None]
+    real = (np.cos(angle) * window).astype(np.float32)
+    imag = (-np.sin(angle) * window).astype(np.float32)
+    basis = np.concatenate([real, imag], axis=1)  # (win, 2*bins)
+    return basis[:, None, :]  # (win, 1, 2*bins) for HIO conv layout
+
+
+def _mel_filterbank(spec: FeaturizerSpec) -> np.ndarray:
+    """HTK-scale triangular mel filterbank, torchaudio defaults (f_min=0,
+    f_max=sr/2, no norm).  Shape (n_fft//2+1, num_mels)."""
+    n_freqs = spec.n_fft // 2 + 1
+    f_max = spec.sample_rate / 2.0
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+    all_freqs = np.linspace(0, spec.sample_rate // 2, n_freqs)
+    m_pts = np.linspace(hz_to_mel(0.0), hz_to_mel(f_max), spec.num_mels + 2)
+    f_pts = mel_to_hz(m_pts)
+    f_diff = np.diff(f_pts)
+    slopes = f_pts[None, :] - all_freqs[:, None]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))
+    return fb.astype(np.float32)
+
+
+def piecewise_linear_log(x: jax.Array, x_cutoff: float = 10e-3,
+                         slope: float = 50.0) -> jax.Array:
+    """Log above the cutoff, linear (continuous) below it
+    (reference rnnt/featurizer.py:9-15)."""
+    y_transition = math.log(x_cutoff)
+    intercept = y_transition - slope * x_cutoff
+    # Clamp the log argument so the untaken branch can't produce nan/inf.
+    safe = jnp.maximum(x, x_cutoff)
+    return jnp.where(x > x_cutoff, jnp.log(safe), slope * x + intercept)
+
+
+def old_piecewise_linear_log(x: jax.Array) -> jax.Array:
+    """int16-gain piecewise log (reference rnnt/featurizer.py:131-134):
+    scale by int16_max**2, then log where > e, divide by e elsewhere."""
+    x = x * _INT16_GAIN
+    safe = jnp.maximum(x, math.e)
+    return jnp.where(x > math.e, jnp.log(safe), x / math.e)
+
+
+def make_featurizer(spec: FeaturizerSpec):
+    """Build a jittable ``featurize(waveform) -> (B, frames, bins)`` fn.
+
+    ``waveform``: float32 ``(B, num_samples)`` (or ``(num_samples,)``, which
+    is promoted to a batch of one and squeezed back).
+    """
+    basis = jnp.asarray(_dft_basis(spec))
+    bins = spec.n_fft // 2 + 1
+    mel_fb = jnp.asarray(_mel_filterbank(spec)) if spec.num_mels else None
+    mean = jnp.asarray(spec.mean, dtype=jnp.float32)
+    invstd = jnp.asarray(spec.invstddev, dtype=jnp.float32)
+
+    def featurize(waveform: jax.Array) -> jax.Array:
+        squeeze = waveform.ndim == 1
+        if squeeze:
+            waveform = waveform[None, :]
+        x = waveform.astype(jnp.float32)[:, :, None]  # (B, L, 1)
+        stft = lax.conv_general_dilated(
+            x, basis,
+            window_strides=(spec.hop_length,),
+            padding=[(0, 0)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        )  # (B, frames, 2*bins)
+        power = stft[:, :, :bins] ** 2 + stft[:, :, bins:] ** 2
+        if mel_fb is not None:
+            power = jnp.dot(power, mel_fb, preferred_element_type=jnp.float32)
+
+        if spec.log_mode == "piecewise":
+            feats = piecewise_linear_log(power, spec.x_cutoff, spec.slope)
+        elif spec.log_mode == "old_piecewise":
+            feats = old_piecewise_linear_log(power + 1e-6)
+        elif spec.log_mode == "log":
+            feats = jnp.log(power + 1e-6)
+        else:
+            raise ValueError(f"unknown log_mode: {spec.log_mode}")
+
+        feats = (feats - mean) * invstd
+        return feats[0] if squeeze else feats
+
+    return featurize
+
+
+class FeatureStreamer:
+    """Streaming featurizer: buffers samples, emits frames chunk by chunk,
+    keeping a ``win - hop``-sample overlap so that the concatenated streamed
+    output is frame-exact with the full-utterance output (reference
+    rnnt-js/featurizer.js:79-107).
+
+    Host-side convenience wrapper around the same jitted featurize fn; the
+    buffered tail lives wherever the caller's arrays live.
+    """
+
+    def __init__(self, spec: FeaturizerSpec):
+        self.spec = spec
+        self.featurize = jax.jit(make_featurizer(spec))
+        self.reset()
+
+    def reset(self):
+        self._buffer = np.zeros((0,), dtype=np.float32)
+
+    def process(self, samples: np.ndarray) -> np.ndarray | None:
+        """Feed samples; returns (new_frames, bins) or None if not enough yet."""
+        self._buffer = np.concatenate([self._buffer, np.asarray(samples, np.float32)])
+        n = self.spec.num_frames(len(self._buffer))
+        if n == 0:
+            return None
+        consumed = n * self.spec.hop_length
+        chunk = self._buffer[: consumed + self.spec.overlap]
+        self._buffer = self._buffer[consumed:]
+        return np.asarray(self.featurize(chunk))

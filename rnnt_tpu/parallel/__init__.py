@@ -1,0 +1,6 @@
+from rnnt_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    param_shardings,
+)

@@ -1,0 +1,81 @@
+"""Checkpointing: orbax save/restore with the config saved alongside.
+
+Parity + extension: the reference writes
+{model_state_dict, optimizer_state_dict, completed_steps} per checkpoint
+(reference rnnt/util.py:7-12) with config.yaml next to it as the
+interchange format every consumer rediscovers
+(rnnt/eval.py:26-30, rnnt/infer.py:24-25, rnnt/export_onnx.py:20-21) —
+but has *no training resume path*.  Here checkpoints are orbax
+(multi-host-safe, async-capable) and restore feeds straight back into the
+train loop.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import orbax.checkpoint as ocp
+
+from rnnt_tpu.config.config import Config, save_config
+
+
+def checkpoint_dir(output_dir: str | Path, step: int) -> Path:
+    return Path(output_dir) / f"checkpoint_step_{step}"
+
+
+def save_checkpoint(output_dir: str | Path, state, cfg: Config | None = None):
+    """Save a TrainState; writes config.yaml beside it (interchange format)."""
+    path = checkpoint_dir(output_dir, int(state.step)).absolute()
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "model_state": state.model_state, "step": int(state.step)}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if cfg is not None and jax.process_index() == 0:
+        save_config(cfg, Path(output_dir) / "config.yaml")
+
+
+def latest_checkpoint(output_dir: str | Path) -> Path | None:
+    root = Path(output_dir)
+    if not root.exists():
+        return None
+    ckpts = sorted(root.glob("checkpoint_step_*"),
+                   key=lambda p: int(p.name.rsplit("_", 1)[1]))
+    return ckpts[-1] if ckpts else None
+
+
+def restore_checkpoint(path: str | Path, template=None):
+    """Restore a checkpoint.  With ``template`` (a payload-shaped pytree of
+    arrays/ShapeDtypeStructs) the restore is structure-checked — use for
+    training resume.  Without it the full on-disk tree is returned as host
+    arrays — use for eval/infer/export, which only need params/model_state
+    (the reference's consumers restore the same way, rnnt/eval.py:32-48)."""
+    ckptr = ocp.StandardCheckpointer()
+    if template is None:
+        return ckptr.restore(Path(path).absolute())
+    return ckptr.restore(Path(path).absolute(), template)
+
+
+def find_config(checkpoint_path: str | Path) -> Path:
+    """Config discovered next to the checkpoint, reference-convention
+    (rnnt/eval.py:26-27)."""
+    p = Path(checkpoint_path)
+    for cand in (p / "config.yaml", p.parent / "config.yaml"):
+        if cand.exists():
+            return cand
+    raise FileNotFoundError(f"no config.yaml next to {checkpoint_path}")
+
+
+def next_run_dir(base: str | Path, model_name: str) -> Path:
+    """experiments/<model_name>/run-N auto-increment
+    (reference rnnt/util.py:26-43)."""
+    root = Path(base) / model_name
+    root.mkdir(parents=True, exist_ok=True)
+    nums = [int(d.name.split("-")[-1]) for d in root.iterdir()
+            if d.is_dir() and d.name.startswith("run-")]
+    run = max(nums) + 1 if nums else 1
+    out = root / f"run-{run}"
+    out.mkdir(parents=True, exist_ok=True)
+    return out

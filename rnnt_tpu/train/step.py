@@ -1,0 +1,107 @@
+"""The jitted, sharded train/eval step.
+
+The reference's hot loop (reference rnnt/train.py:111-166) is H2D copy →
+forward → backward → clip → step, with DDP all-reduce hooks firing in
+backward.  Here the entire step — on-device featurization, encoder,
+predictor, chunked joint+transducer loss, gradient, clip, AdamW update —
+is ONE jitted function over a ("data", "model") mesh; batch arrays arrive
+sharded on the data axis and XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rnnt_tpu.config.config import Config
+from rnnt_tpu.models.encoder import encoder_out_len
+from rnnt_tpu.models.rnnt import RNNTSpec, rnnt_forward
+from rnnt_tpu.ops.stft import FeaturizerSpec, make_featurizer
+from rnnt_tpu.ops.transducer import transducer_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    model_state: Any   # batch-norm running stats etc.
+    step: jax.Array
+
+
+def feature_lens_from_samples(audio_lens: jax.Array,
+                              fspec: FeaturizerSpec) -> jax.Array:
+    n = (audio_lens - fspec.win_length) // fspec.hop_length + 1
+    return jnp.maximum(n, 0).astype(jnp.int32)
+
+
+def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str):
+    """Loss over a raw-audio batch; featurization happens on device."""
+    featurize = make_featurizer(fspec)
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    def loss_fn(params, model_state, batch, rng, training: bool):
+        feats = featurize(batch["audio"])  # (B, T, bins) f32
+        feats = feats.astype(compute_dtype)
+        feat_lens = feature_lens_from_samples(batch["audio_lens"], fspec)
+        audio, text, new_state = rnnt_forward(
+            params, model_state, feats, spec, batch["targets"],
+            training=training, rng=rng)
+        t_lens = encoder_out_len(feat_lens, spec.encoder)
+        loss = transducer_loss(
+            params["joint"], audio, text, batch["targets"], t_lens,
+            batch["target_lens"], spec.blank_idx,
+            chunk_size=spec.loss_chunk_size)
+        return loss, new_state
+
+    return loss_fn
+
+
+def make_train_step(spec: RNNTSpec, fspec: FeaturizerSpec, tx,
+                    precision: str = "bf16"):
+    """Returns step(state, batch, rng) -> (state, metrics).  Jit/shard it
+    with the shardings from rnnt_tpu.parallel."""
+    loss_fn = make_loss_fn(spec, fspec, precision)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def wrapped(params):
+            return loss_fn(params, state.model_state, batch, rng, True)
+
+        (loss, new_model_state), grads = jax.value_and_grad(
+            wrapped, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "total_target_len": jnp.sum(batch["target_lens"]),
+        }
+        new_state = TrainState(new_params, new_opt_state, new_model_state,
+                               state.step + 1)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_forward(spec: RNNTSpec, fspec: FeaturizerSpec,
+                      precision: str = "bf16"):
+    """Featurize + encode for decoding: batch -> (audio (B,T,H), t_lens)."""
+    featurize = make_featurizer(fspec)
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    def forward(params, model_state, batch):
+        from rnnt_tpu.models.encoder import encoder_apply
+
+        feats = featurize(batch["audio"]).astype(compute_dtype)
+        feat_lens = feature_lens_from_samples(batch["audio_lens"], fspec)
+        audio, _ = encoder_apply(params["encoder"], model_state["encoder"],
+                                 feats, spec.encoder, training=False)
+        t_lens = encoder_out_len(feat_lens, spec.encoder)
+        return audio, t_lens
+
+    return forward

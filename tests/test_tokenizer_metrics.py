@@ -1,0 +1,46 @@
+"""Tokenizer and WER tests."""
+
+import pytest
+
+from rnnt_tpu.data.tokenizer import UnigramTokenizer
+from rnnt_tpu.train.metrics import wer
+
+SPM_MODEL = "/root/reference/spm_unigram_1023.model"
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return UnigramTokenizer.from_file(SPM_MODEL)
+
+
+def test_vocab_size_matches_config(tok):
+    # 1023 text pieces; +1 appended blank = 1024 total classes
+    # (reference rnnt/config/basic_sp_convjs.yaml:3-5).
+    assert tok.vocab_size() == 1023
+
+
+def test_roundtrip(tok):
+    for text in ["hello world", "the quick brown fox jumps over the lazy dog",
+                 "a", "sequence to sequence speech recognition"]:
+        ids = tok.encode(text)
+        assert all(0 <= i < 1023 for i in ids)
+        assert tok.decode(ids) == text
+
+
+def test_unknown_chars_fall_back(tok):
+    ids = tok.encode("héllo")
+    assert len(ids) > 0  # must not crash; unk id allowed
+
+
+def test_piece_table_export(tok):
+    table = tok.piece_table()
+    assert len(table) == 1023
+    assert isinstance(table[5], str)
+
+
+def test_wer_basics():
+    assert wer(["a b c"], ["a b c"]) == 0.0
+    assert wer(["a b c"], ["a x c"]) == pytest.approx(1 / 3)
+    assert wer(["a b c"], ["a c"]) == pytest.approx(1 / 3)
+    assert wer(["a b"], ["a b c"]) == pytest.approx(1 / 2)
+    assert wer(["a b", "c d"], ["a b", "c x"]) == pytest.approx(1 / 4)
