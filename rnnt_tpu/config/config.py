@@ -118,6 +118,7 @@ class TrainingConfig:
     global_batch_size: int = 4
     clip_grad_norm: float = 10.0
     loss_chunk_size: int = 32
+    loss_impl: str = "chunked"  # chunked | pallas
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     lr_schedule: LRScheduleConfig = field(default_factory=LRScheduleConfig)
     # Static-shape bucketing (replaces the reference's max_joint_size
@@ -274,4 +275,5 @@ def build_model_spec(cfg: Config) -> RNNTSpec:
         num_classes=cfg.num_total_symbols)
 
     return RNNTSpec(encoder=encoder, predictor=predictor, joint=joint,
-                    loss_chunk_size=cfg.training.loss_chunk_size)
+                    loss_chunk_size=cfg.training.loss_chunk_size,
+                    loss_impl=cfg.training.loss_impl)

@@ -120,6 +120,31 @@ class UnigramTokenizer:
         # SentencePiece gives unknown characters the unk score minus a
         # fixed penalty so known pieces always win when available.
         self._unk_score = self.scores[self.unk_id] - 10.0
+        self._native = None
+        self._init_native()
+
+    def _init_native(self):
+        """Build/load the C++ Viterbi tokenizer (rnnt_tpu/native); falls
+        back to the pure-Python path when no compiler is available."""
+        try:
+            import struct as _struct
+
+            from rnnt_tpu.native import load_native
+
+            lib = load_native()
+            if lib is None:
+                return
+            parts = [_struct.pack("<i", len(self._seg))]
+            for piece, (pid, score) in self._seg.items():
+                raw = piece.encode("utf-8")
+                parts.append(_struct.pack("<ifi", pid, score, len(raw)) + raw)
+            blob = b"".join(parts)
+            handle = lib.rnnt_tok_create(blob, len(blob), self.unk_id,
+                                         self._unk_score)
+            if handle:
+                self._native = (lib, handle)
+        except Exception:
+            self._native = None
 
     @classmethod
     def from_file(cls, path: str | Path) -> "UnigramTokenizer":
@@ -142,8 +167,21 @@ class UnigramTokenizer:
         return _WS + text.replace(" ", _WS)
 
     def encode(self, text: str) -> list[int]:
-        """Viterbi best segmentation -> ids."""
+        """Viterbi best segmentation -> ids (C++ fast path when built)."""
         s = self._normalize(text)
+        if self._native is not None:
+            import ctypes
+
+            lib, handle = self._native
+            raw = s.encode("utf-8")
+            max_out = len(raw) + 8
+            out = (ctypes.c_int32 * max_out)()
+            n = lib.rnnt_tok_encode(handle, raw, len(raw), out, max_out)
+            if n >= 0:
+                return list(out[:n])
+        return self._encode_py(s)
+
+    def _encode_py(self, s: str) -> list[int]:
         n = len(s)
         best = [float("-inf")] * (n + 1)
         back: list[tuple[int, int]] = [(-1, -1)] * (n + 1)

@@ -56,6 +56,7 @@ class StreamingSession:
             {"predictor": params["predictor"], "joint": params["joint"]},
             spec.predictor, spec.joint, batch)
         self._tokens: list[list[int]] = [[] for _ in range(batch)]
+        self.encoder_frames_emitted = 0
 
         @jax.jit
         def _encode_chunk(params, model_state, feats, conv_states):
@@ -82,6 +83,7 @@ class StreamingSession:
              "joint": self.params["joint"]},
             self.spec.predictor, self.spec.joint, self.batch)
         self._tokens = [[] for _ in range(self.batch)]
+        self.encoder_frames_emitted = 0
 
     def feed(self, samples: np.ndarray) -> list[list[int]]:
         samples = np.asarray(samples, np.float32)
@@ -103,6 +105,7 @@ class StreamingSession:
             self.params, self.model_state, feats, self.conv_states)
         if enc.shape[1] == 0:
             return [[] for _ in range(self.batch)]
+        self.encoder_frames_emitted += enc.shape[1]
         t_lens = jnp.full((self.batch,), enc.shape[1], jnp.int32)
         dec_params = {"predictor": self.params["predictor"],
                       "joint": self.params["joint"]}

@@ -36,6 +36,8 @@ class RNNTSpec:
     joint: JointSpec
     # Loss chunking along T; tune to the HBM budget.
     loss_chunk_size: int = 32
+    # "chunked" (XLA remat path) or "pallas" (fused lattice kernel).
+    loss_impl: str = "chunked"
 
     @property
     def blank_idx(self) -> int:
@@ -91,7 +93,14 @@ def rnnt_loss_apply(params, state, batch: dict, spec: RNNTSpec, *,
         params, state, batch["features"], spec, batch["targets"],
         training=training, rng=rng)
     t_lens = encoder_out_len(batch["feature_lens"], spec.encoder)
-    loss = transducer_loss(
-        params["joint"], audio, text, batch["targets"], t_lens,
-        batch["target_lens"], spec.blank_idx, chunk_size=spec.loss_chunk_size)
+    if spec.loss_impl == "pallas":
+        from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
+        loss = transducer_loss_pallas(
+            params["joint"], audio, text, batch["targets"], t_lens,
+            batch["target_lens"], spec.blank_idx)
+    else:
+        loss = transducer_loss(
+            params["joint"], audio, text, batch["targets"], t_lens,
+            batch["target_lens"], spec.blank_idx,
+            chunk_size=spec.loss_chunk_size)
     return loss, new_state

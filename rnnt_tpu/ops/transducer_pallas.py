@@ -30,8 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 from rnnt_tpu.ops.transducer import NEG, transducer_alpha_loss
 
 # Tile sizes: rows = T_TILE * U_TILE feed the MXU as (rows, H) @ (H, V).
-T_TILE = 16
-U_TILE = 8
+# Mosaic requires block shapes whose trailing dims are divisible by (8, 128),
+# so the lattice tiles are 8 frames x 128 labels -> 1024-row matmuls.
+T_TILE = 8
+U_TILE = 128
 
 
 def _cdiv(a, b):
@@ -45,34 +47,38 @@ def _interpret() -> bool:
 
 # ------------------------------- forward -------------------------------
 
-def _fwd_kernel(enc_ref, pred_ref, w_ref, b_ref, tgt_ref,
+def _fwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref,
                 lse_ref, blank_ref, label_ref, *, blank_idx: int):
     """One (1, T_TILE, H) x (1, U_TILE, H) tile -> three (1, T_TILE, U_TILE)
     outputs.  Logits tile lives only in VMEM."""
+    # All math stays 3-D (T_TILE, U_TILE, ·) with the big dim on lanes —
+    # Mosaic cannot relayout (T, U) lane vectors into per-row sublane
+    # scalars, so reductions over V (lanes) land directly in the (T, U)
+    # output tile layout.
     enc = enc_ref[0]    # (T_TILE, H)
     pred = pred_ref[0]  # (U_TILE, H)
-    h = jnp.tanh(enc[:, None, :] + pred[None, :, :])  # (T_TILE, U_TILE, H)
-    rows = h.reshape(T_TILE * U_TILE, -1)
-    logits = jnp.dot(rows, w_ref[:], preferred_element_type=jnp.float32)
-    logits = logits + b_ref[:].astype(jnp.float32)  # (rows, V)
-
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    lse = (m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True)))
-    lse_ref[0] = lse.reshape(T_TILE, U_TILE)
-
-    blank_ref[0] = logits[:, blank_idx:blank_idx + 1].reshape(T_TILE, U_TILE)
-
+    h3 = jnp.tanh(enc[:, None, :] + pred[None, :, :])  # (T_TILE, U_TILE, H)
+    logits = jax.lax.dot_general(
+        h3, w_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (T_TILE, U_TILE, V)
     V = logits.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (U_TILE, V), 1)
-    tgt_col = jnp.broadcast_to(tgt_ref[:].reshape(U_TILE, 1), (U_TILE, V))
-    onehot = (col == tgt_col).astype(jnp.float32)  # (U_TILE, V)
-    lg3 = logits.reshape(T_TILE, U_TILE, V)
-    label = jnp.sum(lg3 * onehot[None, :, :], axis=-1)
-    label_ref[0] = label
+    logits = logits + b_ref[:].astype(jnp.float32).reshape(1, 1, V)
+
+    m = jnp.max(logits, axis=-1)                          # (T_TILE, U_TILE)
+    m3 = jax.lax.broadcast_in_dim(m, logits.shape, (0, 1))
+    lse_ref[0] = m + jnp.log(jnp.sum(jnp.exp(logits - m3), axis=-1))
+
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
+    blank_ref[0] = jnp.sum(
+        jnp.where(col == blank_idx, logits, 0.0), axis=-1)
+
+    onehot = onehot_ref[0].astype(jnp.float32)  # (U_TILE, V)
+    label_ref[0] = jnp.sum(logits * onehot[None, :, :], axis=-1)
 
 
-def _fwd_pallas(enc, pred, w, b, targets_pad, blank_idx: int):
-    """enc (B,T,H), pred (B,U1,H), w (H,V), b (V,), targets_pad (B,U1).
+def _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx: int):
+    """enc (B,T,H), pred (B,U1,H), w (H,V), b (V,),
+    label_onehot (B,U1,V) one-hot of the label leaving each lattice column.
     Returns (lse, blank_logit, label_logit), each (B, T, U1) f32.
     T and U1 must be multiples of the tiles (caller pads)."""
     B, T, H = enc.shape
@@ -95,183 +101,259 @@ def _fwd_pallas(enc, pred, w, b, targets_pad, blank_idx: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b.shape[0]), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_TILE), lambda bb, i, j: (bb, j),
+            pl.BlockSpec((1, U_TILE, w.shape[1]), lambda bb, i, j: (bb, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=out_shape,
         interpret=_interpret(),
-    )(enc, pred, w, b[None, :], targets_pad)
+    )(enc, pred, w, b[None, :], label_onehot)
 
 
 # ------------------------------- backward -------------------------------
 
-def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, tgt_ref,
-                g_blank_ref, g_label_ref, g_lse_ref,
-                denc_ref, dpred_ref, dw_ref, db_ref,
-                dpred_acc, dw_acc, db_acc, *, blank_idx: int):
-    """Rematerialize the tile, form dlogits from the three per-cell
-    cotangents, and backpropagate to enc/pred/W/b.
+# V is processed in chunks so the backward tile working set stays under the
+# ~16 MB VMEM budget (full-V logits + dlogits + dh at f32 would need ~24 MB).
+V_CHUNK = 256
 
-    Accumulation strategy:
-      * denc block index ignores j (innermost) -> safe revisited-block
-        accumulation in the output buffer.
-      * dpred is accumulated in a full-(U1, H) VMEM scratch per batch
-        element and flushed to the output on the last i.
-      * dW/db accumulate in VMEM scratch across the whole grid and flush on
-        the final step.
+
+def _pick_v_chunk(V: int) -> int:
+    if V <= V_CHUNK:
+        return V
+    if V % V_CHUNK == 0:
+        return V_CHUNK
+    if V % 128 == 0:
+        return 128
+    return V
+
+
+def _bwd_dh_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
+                   g_blank_ref, g_label_ref, g_lse_ref,
+                   denc_ref, dpred_ref,
+                   h_scr, dh_scr, dpred_acc, *, blank_idx: int, n_v: int):
+    """Backward part 1: denc and dpred.
+
+    Grid (B, T tiles, U tiles, V chunks), V innermost.  h3 is computed once
+    per lattice tile into scratch; dh accumulates across V chunks and turns
+    into denc/dpred on the last chunk.  Softmax comes from the forward's
+    logsumexp (flash-style) — no second max pass.
     """
-    bb = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    n_b = pl.num_programs(0)
+    vc = pl.program_id(3)
     n_i = pl.num_programs(1)
     n_j = pl.num_programs(2)
 
-    enc = enc_ref[0]
-    pred = pred_ref[0]
-    h = jnp.tanh(enc[:, None, :].astype(jnp.float32)
-                 + pred[None, :, :].astype(jnp.float32))
-    rows = h.reshape(T_TILE * U_TILE, -1)
-    logits = jnp.dot(rows.astype(enc.dtype), w_ref[:],
-                     preferred_element_type=jnp.float32)
-    logits = logits + b_ref[:].astype(jnp.float32)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # softmax (rows, V)
+    chunk = w_ref.shape[1]
+    shape_c = (T_TILE, U_TILE, chunk)
 
-    g_blank = g_blank_ref[0].reshape(-1, 1)   # (rows, 1)
-    g_label = g_label_ref[0].reshape(-1, 1)
-    g_lse = g_lse_ref[0].reshape(-1, 1)
+    def b3(x):
+        return jax.lax.broadcast_in_dim(x, shape_c, (0, 1))
 
-    V = logits.shape[-1]
-    col_u = jax.lax.broadcasted_iota(jnp.int32, (U_TILE, V), 1)
-    tgt_col = jnp.broadcast_to(tgt_ref[:].reshape(U_TILE, 1), (U_TILE, V))
-    onehot_t = (col_u == tgt_col).astype(jnp.float32)  # (U_TILE, V)
-    onehot_rows = jnp.broadcast_to(onehot_t[None, :, :],
-                                   (T_TILE, U_TILE, V)).reshape(-1, V)
-    col_r = jax.lax.broadcasted_iota(jnp.int32, (T_TILE * U_TILE, V), 1)
-    onehot_blank = (col_r == blank_idx).astype(jnp.float32)
-
-    dlogits = (g_lse * p + g_blank * onehot_blank + g_label * onehot_rows)
-
-    # d rows (pre-tanh): (rows, H) — contract over V without an explicit
-    # transpose (dot_general keeps the MXU layout happy).
-    dh = jax.lax.dot_general(
-        dlogits.astype(w_ref.dtype), w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dpre = dh * (1.0 - rows.astype(jnp.float32) ** 2)
-    dpre3 = dpre.reshape(T_TILE, U_TILE, -1)
-
-    # denc: sum over u; output block revisited across j -> accumulate.
-    denc_tile = jnp.sum(dpre3, axis=1)  # (T_TILE, H)
-
-    @pl.when(j == 0)
+    @pl.when(vc == 0)
     def _():
-        denc_ref[0] = jnp.zeros_like(denc_ref[0])
+        h_scr[:] = jnp.tanh(enc_ref[0][:, None, :] + pred_ref[0][None, :, :])
+        dh_scr[:] = jnp.zeros_like(dh_scr)
 
-    denc_ref[0] += denc_tile
-
-    # dpred: sum over t; accumulate full (U1, H) per batch in scratch.
-    @pl.when((i == 0) & (j == 0))
+    @pl.when((i == 0) & (j == 0) & (vc == 0))
     def _():
         dpred_acc[:] = jnp.zeros_like(dpred_acc)
 
-    dpred_tile = jnp.sum(dpre3, axis=0)  # (U_TILE, H)
-    dpred_acc[pl.ds(j * U_TILE, U_TILE), :] += dpred_tile
-
-    @pl.when((i == n_i - 1) & (j == n_j - 1))
+    # Main accumulation runs for vc in [0, n_v); the extra trailing grid
+    # step (vc == n_v) only converts dh -> denc/dpred, so the matmul
+    # temporaries and dpre3 are never co-resident in VMEM.
+    @pl.when(vc < n_v)
     def _():
-        dpred_ref[0] = dpred_acc[:]
+        h3 = h_scr[:]
+        logits_c = jax.lax.dot_general(
+            h3, w_ref[:], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits_c = logits_c + b_ref[:].astype(jnp.float32).reshape(1, 1, chunk)
+        p_c = jnp.exp(logits_c - b3(lse_ref[0]))
 
-    # dW/db: accumulate across the entire grid in scratch; flush last.
-    @pl.when((bb == 0) & (i == 0) & (j == 0))
+        col = vc * chunk + jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
+        dl_c = (b3(g_lse_ref[0]) * p_c
+                + b3(g_blank_ref[0]) * (col == blank_idx).astype(jnp.float32)
+                + b3(g_label_ref[0]) * onehot_ref[0].astype(jnp.float32)[None])
+
+        dh_scr[:] += jax.lax.dot_general(
+            dl_c.astype(w_ref.dtype), w_ref[:],
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(vc == n_v)
     def _():
-        dw_acc[:] = jnp.zeros_like(dw_acc)
-        db_acc[:] = jnp.zeros_like(db_acc)
+        dpre3 = dh_scr[:] * (1.0 - h_scr[:].astype(jnp.float32) ** 2)
 
-    dw_acc[:] += jax.lax.dot_general(
-        rows.astype(jnp.float32), dlogits,
+        @pl.when(j == 0)
+        def _():
+            denc_ref[0] = jnp.zeros_like(denc_ref[0])
+
+        denc_ref[0] += jnp.sum(dpre3, axis=1)
+        dpred_acc[pl.ds(j * U_TILE, U_TILE), :] += jnp.sum(dpre3, axis=0)
+
+        @pl.when((i == n_i - 1) & (j == n_j - 1))
+        def _():
+            dpred_ref[0] = dpred_acc[:]
+
+
+def _bwd_dw_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
+                   g_blank_ref, g_label_ref, g_lse_ref,
+                   dw_ref, db_ref, h_scr, *, blank_idx: int):
+    """Backward part 2: dW and db, accumulated directly in slab-shaped
+    (n_v, H, chunk) output buffers whose block index is constant — the
+    buffers persist in VMEM across the whole grid and flush once."""
+    bb = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    vc = pl.program_id(3)
+
+    chunk = w_ref.shape[1]
+    shape_c = (T_TILE, U_TILE, chunk)
+
+    def b3(x):
+        return jax.lax.broadcast_in_dim(x, shape_c, (0, 1))
+
+    @pl.when(vc == 0)
+    def _():
+        h_scr[:] = jnp.tanh(enc_ref[0][:, None, :] + pred_ref[0][None, :, :])
+
+    @pl.when((bb == 0) & (i == 0) & (j == 0) & (vc == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    h3 = h_scr[:]
+    logits_c = jax.lax.dot_general(
+        h3, w_ref[:], (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    logits_c = logits_c + b_ref[:].astype(jnp.float32).reshape(1, 1, chunk)
+    p_c = jnp.exp(logits_c - b3(lse_ref[0]))
+
+    col = vc * chunk + jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
+    dl_c = (b3(g_lse_ref[0]) * p_c
+            + b3(g_blank_ref[0]) * (col == blank_idx).astype(jnp.float32)
+            + b3(g_label_ref[0]) * onehot_ref[0].astype(jnp.float32)[None])
+
+    h_rows = h3.reshape(T_TILE * U_TILE, -1)
+    dl_rows = dl_c.reshape(T_TILE * U_TILE, chunk)
+    dw_ref[vc] += jax.lax.dot_general(
+        h_rows.astype(jnp.float32), dl_rows,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    db_acc[:] += jnp.sum(dlogits, axis=0, keepdims=True)
-
-    @pl.when((bb == n_b - 1) & (i == n_i - 1) & (j == n_j - 1))
-    def _():
-        dw_ref[:] = dw_acc[:]
-        db_ref[:] = db_acc[:]
+    db_ref[vc] += jnp.sum(dl_rows, axis=0, keepdims=True)
 
 
-def _bwd_pallas(enc, pred, w, b, targets_pad, g_blank, g_label, g_lse,
+def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
                 blank_idx: int):
     B, T, H = enc.shape
     U1 = pred.shape[1]
     V = w.shape[1]
-    grid = (B, T // T_TILE, U1 // U_TILE)
-
-    g_spec = pl.BlockSpec((1, T_TILE, U_TILE), lambda bb, i, j: (bb, i, j),
+    g_spec = pl.BlockSpec((1, T_TILE, U_TILE),
+                          lambda bb, i, j, vc: (bb, i, j),
                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel, blank_idx=blank_idx),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, T_TILE, H), lambda bb, i, j: (bb, i, 0),
+
+    def make_in_specs(chunk, n_v):
+        # The flush step (vc == n_v, B1 only) clamps to the last real chunk
+        # so block fetches stay in bounds.
+        def vclamp(vc):
+            import jax.numpy as _jnp
+            return _jnp.minimum(vc, n_v - 1)
+
+        return [
+            pl.BlockSpec((1, T_TILE, H), lambda bb, i, j, vc: (bb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_TILE, H), lambda bb, i, j: (bb, j, 0),
+            pl.BlockSpec((1, U_TILE, H), lambda bb, i, j, vc: (bb, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V), lambda bb, i, j: (0, 0),
+            pl.BlockSpec((H, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda bb, i, j: (0, 0),
+            pl.BlockSpec((1, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_TILE), lambda bb, i, j: (bb, j),
+            pl.BlockSpec((1, U_TILE, chunk),
+                         lambda bb, i, j, vc: (bb, j, vclamp(vc)),
                          memory_space=pltpu.VMEM),
+            g_spec,  # lse residual
             g_spec, g_spec, g_spec,
-        ],
+        ]
+
+    args = (enc, pred, w, b[None, :], label_onehot, lse, g_blank, g_label,
+            g_lse)
+
+    # B1 (denc/dpred): narrow chunks + a trailing flush-only grid step keep
+    # its working set well under the VMEM budget.
+    chunk1 = 128 if V % 128 == 0 else _pick_v_chunk(V)
+    n_v1 = V // chunk1
+    denc, dpred = pl.pallas_call(
+        functools.partial(_bwd_dh_kernel, blank_idx=blank_idx, n_v=n_v1),
+        grid=(B, T // T_TILE, U1 // U_TILE, n_v1 + 1),
+        in_specs=make_in_specs(chunk1, n_v1),
         out_specs=[
-            pl.BlockSpec((1, T_TILE, H), lambda bb, i, j: (bb, i, 0),
+            pl.BlockSpec((1, T_TILE, H), lambda bb, i, j, vc: (bb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U1, H), lambda bb, i, j: (bb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, V), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, V), lambda bb, i, j: (0, 0),
+            pl.BlockSpec((1, U1, H), lambda bb, i, j, vc: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, H), jnp.float32),
             jax.ShapeDtypeStruct((B, U1, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, V), jnp.float32),
-            jax.ShapeDtypeStruct((1, V), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((U1, H), jnp.float32),
-            pltpu.VMEM((H, V), jnp.float32),
-            pltpu.VMEM((1, V), jnp.float32),
+            pltpu.VMEM((T_TILE, U_TILE, H), enc.dtype),    # h3
+            pltpu.VMEM((T_TILE, U_TILE, H), jnp.float32),  # dh accumulator
+            pltpu.VMEM((U1, H), jnp.float32),              # dpred accumulator
         ],
         interpret=_interpret(),
-    )(enc, pred, w, b[None, :], targets_pad, g_blank, g_label, g_lse)
+    )(*args)
+
+    chunk = _pick_v_chunk(V)
+    n_v = V // chunk
+    dw_slabs, db_slabs = pl.pallas_call(
+        functools.partial(_bwd_dw_kernel, blank_idx=blank_idx),
+        grid=(B, T // T_TILE, U1 // U_TILE, n_v),
+        in_specs=make_in_specs(chunk, n_v),
+        out_specs=[
+            pl.BlockSpec((n_v, H, chunk), lambda bb, i, j, vc: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_v, 1, chunk), lambda bb, i, j, vc: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_v, H, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_v, 1, chunk), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T_TILE, U_TILE, H), enc.dtype),    # h3
+        ],
+        interpret=_interpret(),
+    )(*args)
+
+    # Slabs -> (H, V) / (1, V).
+    dw = jnp.concatenate([dw_slabs[k] for k in range(n_v)], axis=1)
+    db = jnp.concatenate([db_slabs[k] for k in range(n_v)], axis=1)
+    return denc, dpred, dw, db
 
 
 # --------------------------- custom_vjp wrapper ---------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_joint_outputs(enc, pred, w, b, targets_pad, blank_idx):
+def fused_joint_outputs(enc, pred, w, b, label_onehot, blank_idx):
     """(lse, blank_logit, label_logit) over the padded lattice — all
     (B, T, U1) f32.  T % T_TILE == 0 and U1 % U_TILE == 0 required."""
-    return _fwd_pallas(enc, pred, w, b, targets_pad, blank_idx)
+    return _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx)
 
 
-def _fjo_fwd(enc, pred, w, b, targets_pad, blank_idx):
-    outs = _fwd_pallas(enc, pred, w, b, targets_pad, blank_idx)
-    return outs, (enc, pred, w, b, targets_pad)
+def _fjo_fwd(enc, pred, w, b, label_onehot, blank_idx):
+    outs = _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx)
+    lse = outs[0]
+    return outs, (enc, pred, w, b, label_onehot, lse)
 
 
 def _fjo_bwd(blank_idx, residuals, gs):
-    enc, pred, w, b, targets_pad = residuals
+    enc, pred, w, b, label_onehot, lse = residuals
     g_lse, g_blank, g_label = gs
     denc, dpred, dw, db = _bwd_pallas(
-        enc, pred, w, b, targets_pad, g_blank, g_label, g_lse, blank_idx)
+        enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
+        blank_idx)
     return (denc.astype(enc.dtype), dpred.astype(pred.dtype),
             dw.astype(w.dtype), db[0].astype(b.dtype), None)
 
@@ -304,10 +386,12 @@ def transducer_loss_pallas(joint_params, audio, text, targets, t_lens, u_lens,
     targets_pad = jnp.pad(
         jnp.concatenate([targets, jnp.zeros((B, 1), targets.dtype)], axis=1),
         ((0, 0), (0, U_pad - U1))).astype(jnp.int32)
+    V = w.shape[1]
+    label_onehot = jax.nn.one_hot(targets_pad, V, dtype=audio_p.dtype)
 
     lse, blank_logit, label_logit = fused_joint_outputs(
         audio_p, text_p.astype(audio_p.dtype), w.astype(audio_p.dtype),
-        b, targets_pad, blank)
+        b, label_onehot, blank)
 
     lse = lse[:, :T, :U1]
     lp_blank = blank_logit[:, :T, :U1] - lse

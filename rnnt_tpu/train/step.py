@@ -50,10 +50,16 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str):
             params, model_state, feats, spec, batch["targets"],
             training=training, rng=rng)
         t_lens = encoder_out_len(feat_lens, spec.encoder)
-        loss = transducer_loss(
-            params["joint"], audio, text, batch["targets"], t_lens,
-            batch["target_lens"], spec.blank_idx,
-            chunk_size=spec.loss_chunk_size)
+        if spec.loss_impl == "pallas":
+            from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
+            loss = transducer_loss_pallas(
+                params["joint"], audio, text, batch["targets"], t_lens,
+                batch["target_lens"], spec.blank_idx)
+        else:
+            loss = transducer_loss(
+                params["joint"], audio, text, batch["targets"], t_lens,
+                batch["target_lens"], spec.blank_idx,
+                chunk_size=spec.loss_chunk_size)
         return loss, new_state
 
     return loss_fn
