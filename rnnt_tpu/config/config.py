@@ -119,6 +119,7 @@ class TrainingConfig:
     clip_grad_norm: float = 10.0
     loss_chunk_size: int = 32
     loss_impl: str = "chunked"  # chunked | pallas
+    accumulate_steps: int = 1   # gradient accumulation microbatches
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     lr_schedule: LRScheduleConfig = field(default_factory=LRScheduleConfig)
     # Static-shape bucketing (replaces the reference's max_joint_size

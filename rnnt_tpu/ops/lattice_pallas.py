@@ -1,0 +1,298 @@
+"""Pallas alpha/beta lattice recursion — the transducer DP at kernel speed.
+
+The XLA path (rnnt_tpu/ops/transducer.py) runs the alpha recursion as a
+`lax.scan` over T with an associative scan over U inside each row; measured
+on a v5e that costs ~46 ms fwd+bwd at (B=4, T=1000, U=193) — ~38% of the
+whole train step — because every one of the T steps is a tiny fusion with
+scan overhead.  Here the whole recursion runs inside Pallas kernels:
+
+* forward: one grid step processes a (B_TILE, T_CHUNK, U_pad) slab; each
+  row's recurrence  a[u] = LSE(c[u], a[u-1] + e[u-1])  is a Hillis-Steele
+  inclusive scan over the U lanes in the (LSE, +) semiring (log2(U) rounds
+  of `pltpu.roll` + combine); the alpha row carries across T chunks in
+  VMEM scratch.  Alphas are saved for the backward.
+* backward: the beta recursion runs the same way in reverse (T chunks
+  visited descending, suffix scan over lanes), emitting the blank/label
+  edge-posterior gradients row by row — the textbook forward-backward,
+  fused.
+
+Used by both transducer loss paths via ``transducer_alpha_loss_fast``;
+falls back to interpret mode off-TPU so the same kernels are tested on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rnnt_tpu.ops.transducer import NEG
+
+B_TILE = 8
+T_CHUNK = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _lse(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.where(m <= NEG / 2, 0.0, m)
+    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe)
+    out = m_safe + jnp.log(s + 1e-30)
+    return jnp.where(m <= NEG / 2, NEG, out)
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _prefix_row_scan(c, e_shifted, U: int):
+    """Row recurrence a[u] = LSE(c[u], a[u-1] + e_shifted[u]) where
+    e_shifted[u] = lp_label[u-1] (NEG at u=0).  Hillis-Steele over lanes in
+    the affine log-semiring: combine((A1,b1),(A2,b2)) = (A1+A2,
+    LSE(b1+A2, b2)) with left identity (0, NEG)."""
+    A, bvec = e_shifted, c
+    lane = _lane_iota(c.shape)
+    k = 1
+    while k < U:
+        A_s = pltpu.roll(A, k, axis=1)
+        b_s = pltpu.roll(bvec, k, axis=1)
+        fill = lane < k
+        A_s = jnp.where(fill, 0.0, A_s)
+        b_s = jnp.where(fill, NEG, b_s)
+        bvec = _lse(b_s + A, bvec)
+        A = A + A_s
+        k *= 2
+    return bvec
+
+
+def _suffix_row_scan(d, e, U: int):
+    """Reverse recurrence beta[u] = LSE(d[u], e[u] + beta[u+1]) with
+    beta[U] = log-zero.  Same semiring, composed right-to-left:
+    combine(f, g) = (A_f + A_g, LSE(b_f, A_f + b_g)), right identity
+    (0, NEG)."""
+    A, bvec = e, d
+    lane = _lane_iota(d.shape)
+    k = 1
+    while k < U:
+        A_s = pltpu.roll(A, U - k, axis=1)   # == roll by -k
+        b_s = pltpu.roll(bvec, U - k, axis=1)
+        fill = lane >= U - k
+        A_s = jnp.where(fill, 0.0, A_s)
+        b_s = jnp.where(fill, NEG, b_s)
+        bvec = _lse(bvec, A + b_s)
+        A = A + A_s
+        k *= 2
+    return bvec
+
+
+# ------------------------------- forward -------------------------------
+
+def _alpha_kernel(lpb_ref, lpl_ref, tl_ref, ul_ref,
+                  alphas_ref, llmask_ref, alpha_carry, ll_acc, *,
+                  n_t: int, U: int):
+    i = pl.program_id(1)
+    lane = _lane_iota((B_TILE, U))
+
+    @pl.when(i == 0)
+    def _():
+        # alpha[0, 0] = 0; realized by seeding the carry as "row -1" such
+        # that the first row's c = seed works out: we instead seed the
+        # first row directly below.
+        alpha_carry[:] = jnp.full((B_TILE, U), NEG)
+        ll_acc[:] = jnp.zeros((B_TILE, U), jnp.float32)
+
+    t_lens = tl_ref[:]  # (B_TILE, U) broadcast int32
+    u_lens = ul_ref[:]
+
+    def row(r, _):
+        t = i * T_CHUNK + r
+        lpb_row = lpb_ref[:, r, :]
+        lpl_row = lpl_ref[:, r, :]
+        prev = alpha_carry[:]
+
+        # c[u]: from-blank term.  Row 0 has no previous row: c = (0, NEG...).
+        c_first = jnp.where(lane == 0, 0.0, NEG)
+        # lpb of the PREVIOUS row is carried in via alpha_carry trick: we
+        # instead store alpha_prev + lpb_prev when finishing each row, so
+        # `prev` already includes the blank emission (see bottom of loop).
+        c = jnp.where(t == 0, c_first, prev)
+
+        e_shifted = pltpu.roll(lpl_row, 1, axis=1)
+        e_shifted = jnp.where(lane < 1, NEG, e_shifted)
+        alpha_row = _prefix_row_scan(c, e_shifted, U)
+
+        alphas_ref[:, r, :] = alpha_row
+        # Final-cell contribution: loss = -(alpha + lpb) at (t_len-1, u_len).
+        hit = (t == t_lens - 1) & (lane == u_lens)
+        ll_acc[:] += jnp.where(hit, alpha_row + lpb_row, 0.0)
+        # Carry alpha_row + lpb_row as next row's from-blank term.
+        alpha_carry[:] = alpha_row + lpb_row
+        return _
+
+    jax.lax.fori_loop(0, T_CHUNK, row, 0)
+
+    @pl.when(i == n_t - 1)
+    def _():
+        llmask_ref[:] = ll_acc[:]
+
+
+def _alpha_pallas(lpb, lpl, t_lens_b, u_lens_b):
+    B, T, U = lpb.shape
+    grid = (B // B_TILE, T // T_CHUNK)
+    lat_spec = pl.BlockSpec((B_TILE, T_CHUNK, U), lambda bb, i: (bb, i, 0),
+                            memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((B_TILE, U), lambda bb, i: (bb, 0),
+                            memory_space=pltpu.VMEM)
+    alphas, llmask = pl.pallas_call(
+        functools.partial(_alpha_kernel, n_t=T // T_CHUNK, U=U),
+        grid=grid,
+        in_specs=[lat_spec, lat_spec, len_spec, len_spec],
+        out_specs=[lat_spec, len_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, T, U), jnp.float32),
+                   jax.ShapeDtypeStruct((B, U), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B_TILE, U), jnp.float32),
+                        pltpu.VMEM((B_TILE, U), jnp.float32)],
+        interpret=_interpret(),
+    )(lpb, lpl, t_lens_b, u_lens_b)
+    return alphas, llmask
+
+
+# ------------------------------- backward -------------------------------
+
+def _beta_kernel(lpb_ref, lpl_ref, alphas_ref, tl_ref, ul_ref, ll_ref,
+                 g_ref, glpb_ref, glpl_ref, beta_carry, *, n_t: int, U: int):
+    i = pl.program_id(1)  # ascending; blocks are index-mapped descending
+    lane = _lane_iota((B_TILE, U))
+    t_lens = tl_ref[:]
+    u_lens = ul_ref[:]
+    ll = ll_ref[:]
+    g = g_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        beta_carry[:] = jnp.full((B_TILE, U), NEG)
+
+    seed = jnp.where(lane == u_lens, 0.0, NEG)
+
+    def row(r_, _):
+        r = T_CHUNK - 1 - r_
+        t = (n_t - 1 - i) * T_CHUNK + r
+        lpb_row = lpb_ref[:, r, :]
+        lpl_row = lpl_ref[:, r, :]
+        alpha_row = alphas_ref[:, r, :]
+
+        beta_next = jnp.where(t == t_lens - 1, seed, beta_carry[:])
+
+        d = lpb_row + beta_next
+        beta_row = _suffix_row_scan(d, lpl_row, U)
+
+        # Mask inside the exp: padded rows hold finite junk whose exp could
+        # overflow and then NaN when multiplied by a zero mask.
+        valid = t < t_lens
+        glpb_ref[:, r, :] = -g * jnp.exp(jnp.where(
+            valid, alpha_row + lpb_row + beta_next - ll, NEG))
+        beta_up = pltpu.roll(beta_row, U - 1, axis=1)  # == roll by -1
+        beta_up = jnp.where(lane >= U - 1, NEG, beta_up)
+        glpl_ref[:, r, :] = -g * jnp.exp(jnp.where(
+            valid, alpha_row + lpl_row + beta_up - ll, NEG))
+
+        beta_carry[:] = beta_row
+        return _
+
+    jax.lax.fori_loop(0, T_CHUNK, row, 0)
+
+
+def _beta_pallas(lpb, lpl, alphas, t_lens_b, u_lens_b, ll_b, g_b):
+    B, T, U = lpb.shape
+    n_t = T // T_CHUNK
+    grid = (B // B_TILE, n_t)
+    # T blocks visited in DESCENDING order.
+    lat_desc = pl.BlockSpec((B_TILE, T_CHUNK, U),
+                            lambda bb, i: (bb, n_t - 1 - i, 0),
+                            memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((B_TILE, U), lambda bb, i: (bb, 0),
+                            memory_space=pltpu.VMEM)
+    glpb, glpl = pl.pallas_call(
+        functools.partial(_beta_kernel, n_t=n_t, U=U),
+        grid=grid,
+        in_specs=[lat_desc, lat_desc, lat_desc, len_spec, len_spec,
+                  len_spec, len_spec],
+        out_specs=[lat_desc, lat_desc],
+        out_shape=[jax.ShapeDtypeStruct((B, T, U), jnp.float32),
+                   jax.ShapeDtypeStruct((B, T, U), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((B_TILE, U), jnp.float32)],
+        interpret=_interpret(),
+    )(lpb, lpl, alphas, t_lens_b, u_lens_b, ll_b, g_b)
+    return glpb, glpl
+
+
+# ------------------------------ public op ------------------------------
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=0.0)
+
+
+@jax.custom_vjp
+def transducer_alpha_loss_fast(lp_blank, lp_label, t_lens, u_lens):
+    """Per-sample negative log-likelihood, shape (B,) — Pallas fast path
+    with the same contract as ``transducer_alpha_loss``."""
+    losses, _ = _forward_impl(lp_blank, lp_label, t_lens, u_lens)
+    return losses
+
+
+def _forward_impl(lp_blank, lp_label, t_lens, u_lens):
+    B, T, U = lp_blank.shape
+    lpb = _pad_to(_pad_to(lp_blank.astype(jnp.float32), 2, 128), 1, T_CHUNK)
+    # Padded label columns must stay log-zero so the row scan can't walk
+    # through them.
+    lpl = _pad_to(_pad_to(lp_label.astype(jnp.float32), 2, 128), 1, T_CHUNK)
+    if lpl.shape[2] != U:
+        u_pad_mask = jnp.arange(lpl.shape[2]) >= U
+        lpl = jnp.where(u_pad_mask[None, None, :], NEG, lpl)
+    pad_b = (-B) % B_TILE
+    if pad_b:
+        lpb = jnp.pad(lpb, ((0, pad_b), (0, 0), (0, 0)))
+        lpl = jnp.pad(lpl, ((0, pad_b), (0, 0), (0, 0)),
+                      constant_values=NEG)
+        t_lens = jnp.pad(t_lens, (0, pad_b), constant_values=1)
+        u_lens = jnp.pad(u_lens, (0, pad_b), constant_values=0)
+
+    Bp, Tp, Up = lpb.shape
+    tl_b = jnp.broadcast_to(t_lens.astype(jnp.int32)[:, None], (Bp, Up))
+    ul_b = jnp.broadcast_to(u_lens.astype(jnp.int32)[:, None], (Bp, Up))
+    alphas, llmask = _alpha_pallas(lpb, lpl, tl_b, ul_b)
+    losses = -jnp.sum(llmask, axis=1)[:B]
+    return losses, (lpb, lpl, alphas, tl_b, ul_b, losses, B)
+
+
+def _fast_fwd(lp_blank, lp_label, t_lens, u_lens):
+    losses, res = _forward_impl(lp_blank, lp_label, t_lens, u_lens)
+    return losses, (res, lp_blank.shape)
+
+
+def _fast_bwd(packed, g):
+    (lpb, lpl, alphas, tl_b, ul_b, losses, B), orig_shape = packed
+    Bp, Tp, Up = lpb.shape
+    ll = -losses  # log-likelihood per sample
+    ll_b = jnp.broadcast_to(
+        jnp.pad(ll, (0, Bp - B))[:, None], (Bp, Up)).astype(jnp.float32)
+    g_b = jnp.broadcast_to(
+        jnp.pad(g.astype(jnp.float32), (0, Bp - B))[:, None], (Bp, Up))
+    glpb, glpl = _beta_pallas(lpb, lpl, alphas, tl_b, ul_b, ll_b, g_b)
+    _, T, U = orig_shape
+    return (glpb[:B, :T, :U], glpl[:B, :T, :U], None, None)
+
+
+transducer_alpha_loss_fast.defvjp(_fast_fwd, _fast_bwd)

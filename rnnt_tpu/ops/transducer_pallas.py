@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rnnt_tpu.ops.transducer import NEG, transducer_alpha_loss
+from rnnt_tpu.ops.transducer import NEG, lattice_nll
 
 # Tile sizes: rows = T_TILE * U_TILE feed the MXU as (rows, H) @ (H, V).
 # Mosaic requires block shapes whose trailing dims are divisible by (8, 128),
@@ -399,7 +399,7 @@ def transducer_loss_pallas(joint_params, audio, text, targets, t_lens, u_lens,
     lp_label = jnp.where(u_mask[:, None, :],
                          label_logit[:, :T, :U1] - lse, NEG)
 
-    losses = transducer_alpha_loss(lp_blank, lp_label, t_lens, u_lens)
+    losses = lattice_nll(lp_blank, lp_label, t_lens, u_lens)
     if reduction == "mean":
         return jnp.mean(losses)
     if reduction == "sum":

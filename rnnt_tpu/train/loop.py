@@ -181,6 +181,16 @@ def train(cfg: Config, *, output_base: str = "experiments",
         if not pending:
             return
         dt = time.time() - t_log
+        # Failure detection (the reference has none, SURVEY.md §5): a
+        # non-finite loss aborts with an emergency checkpoint so the run is
+        # resumable from just before the blow-up.
+        last_loss = float(pending[-1][1]["loss"])
+        if not np.isfinite(last_loss):
+            if is_main:
+                ckpt.save_checkpoint(output_dir, state, cfg)
+            raise FloatingPointError(
+                f"non-finite loss {last_loss} at step {pending[-1][0]}; "
+                f"emergency checkpoint saved to {output_dir}")
         for s, m in pending:
             logger.log(s, {"loss/train": float(m["loss"]),
                            "total_norm/train": float(m["grad_norm"]),

@@ -37,7 +37,10 @@ def warmup_cosine_schedule(base_lr: float, warmup_steps: int,
 
 
 def make_optimizer(tc: TrainingConfig, total_steps: int):
-    """Returns (optax transform, schedule fn)."""
+    """Returns (optax transform, schedule fn).  With
+    ``accumulate_steps > 1`` gradients accumulate across microbatches
+    before each optimizer update (absent in the reference — its
+    ``perstep_batch_size`` is commented out, config basic_sp_convjs:81)."""
     oc = tc.optimizer
     sched = warmup_cosine_schedule(oc.lr, tc.lr_schedule.warmup_steps,
                                    total_steps, tc.lr_schedule.min_lr_ratio)
@@ -46,4 +49,6 @@ def make_optimizer(tc: TrainingConfig, total_steps: int):
         optax.adamw(learning_rate=sched, b1=oc.betas[0], b2=oc.betas[1],
                     eps=oc.eps, weight_decay=oc.weight_decay),
     )
+    if tc.accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tc.accumulate_steps)
     return tx, sched
