@@ -44,6 +44,15 @@ def main(argv=None) -> None:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    # Multi-host startup: the TPU-native replacement for the reference's
+    # torchrun/RANK rendezvous (reference rnnt/train.py:25-36).  When the
+    # standard coordinator env vars are present, join the distributed
+    # runtime; the rest of the code is identical on 1 or N hosts.
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+        jax.distributed.initialize()
+
     cfg = load_config(resolve_config(args.config))
     final_wer = train(cfg, output_base=args.output_base, resume=args.resume,
                       max_steps=args.max_steps)

@@ -140,6 +140,8 @@ class DataConfig:
     # Synthetic-data knobs (used when no real dataset is available).
     synthetic_size: int = 256
     synthetic_seconds: float = 3.0
+    # Evaluate on the training set (overfitting sanity checks).
+    eval_on_train: bool = False
 
 
 @dataclass

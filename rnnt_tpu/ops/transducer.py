@@ -128,25 +128,42 @@ def transducer_alpha_loss(lp_blank: jax.Array, lp_label: jax.Array,
     return -(final_alpha + final_blank)
 
 
-def lattice_nll(lp_blank, lp_label, t_lens, u_lens):
+def lattice_nll(lp_blank, lp_label, t_lens, u_lens, mesh=None):
     """Alpha-recursion NLL dispatch: the Pallas lattice kernel on TPU
-    (rnnt_tpu/ops/lattice_pallas.py — ~30x faster than the scan), the XLA
-    scan elsewhere.  Set RNNT_ALPHA_IMPL=scan to force the scan."""
+    (rnnt_tpu/ops/lattice_pallas.py — ~15x faster than the scan), the XLA
+    scan elsewhere.  Set RNNT_ALPHA_IMPL=scan to force the scan.
+
+    On a multi-device mesh the kernel runs under ``jax.shard_map`` over the
+    data axis — the lattice DP is embarrassingly parallel in B, and without
+    the wrapper GSPMD would replicate the opaque pallas_call on every chip.
+    """
     import os
 
-    if (jax.default_backend() == "tpu"
-            and os.environ.get("RNNT_ALPHA_IMPL", "pallas") != "scan"):
+    impl = os.environ.get("RNNT_ALPHA_IMPL", "")
+    use_pallas = (impl == "pallas"
+                  or (jax.default_backend() == "tpu" and impl != "scan"))
+    if use_pallas:
         from rnnt_tpu.ops.lattice_pallas import transducer_alpha_loss_fast
+
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.shard_map(
+                transducer_alpha_loss_fast, mesh=mesh,
+                in_specs=(P("data"), P("data"), P("data"), P("data")),
+                out_specs=P("data"), check_vma=False)
+            return fn(lp_blank, lp_label, t_lens, u_lens)
         return transducer_alpha_loss_fast(lp_blank, lp_label, t_lens, u_lens)
     return transducer_alpha_loss(lp_blank, lp_label, t_lens, u_lens)
 
 
 def transducer_loss_from_logits(logits: jax.Array, targets: jax.Array,
                                 t_lens: jax.Array, u_lens: jax.Array,
-                                blank: int, reduction: str = "mean") -> jax.Array:
+                                blank: int, reduction: str = "mean",
+                                mesh=None) -> jax.Array:
     """Loss from full (B, T, U+1, V) logits — the correctness oracle."""
     lp_blank, lp_label = lattice_log_probs(logits, targets, u_lens, blank)
-    losses = lattice_nll(lp_blank, lp_label, t_lens, u_lens)
+    losses = lattice_nll(lp_blank, lp_label, t_lens, u_lens, mesh=mesh)
     if reduction == "mean":
         return jnp.mean(losses)
     if reduction == "sum":
@@ -186,7 +203,7 @@ def _joint_chunk_log_probs_remat(joint_params, enc_chunk, text, targets_pad,
 def transducer_loss(joint_params, audio: jax.Array, text: jax.Array,
                     targets: jax.Array, t_lens: jax.Array, u_lens: jax.Array,
                     blank: int, *, chunk_size: int = 32,
-                    reduction: str = "mean") -> jax.Array:
+                    reduction: str = "mean", mesh=None) -> jax.Array:
     """Memory-bounded fused joint + transducer loss (XLA path).
 
     audio: (B, T, H) encoder output; text: (B, U+1, H) predictor output
@@ -224,7 +241,7 @@ def transducer_loss(joint_params, audio: jax.Array, text: jax.Array,
     lp_blank = jnp.moveaxis(lpb, 0, 1).reshape(B, -1, U1)[:, :T]
     lp_label = jnp.moveaxis(lpl, 0, 1).reshape(B, -1, U1)[:, :T]
 
-    losses = lattice_nll(lp_blank, lp_label, t_lens, u_lens)
+    losses = lattice_nll(lp_blank, lp_label, t_lens, u_lens, mesh=mesh)
     if reduction == "mean":
         return jnp.mean(losses)
     if reduction == "sum":

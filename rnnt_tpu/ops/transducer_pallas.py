@@ -364,7 +364,7 @@ fused_joint_outputs.defvjp(_fjo_fwd, _fjo_bwd)
 # ------------------------------ public loss ------------------------------
 
 def transducer_loss_pallas(joint_params, audio, text, targets, t_lens, u_lens,
-                           blank: int, *, reduction: str = "mean"):
+                           blank: int, *, reduction: str = "mean", mesh=None):
     """Fused-joint transducer loss (Pallas fast path).
 
     Same contract as ``rnnt_tpu.ops.transducer.transducer_loss``; requires
@@ -399,7 +399,7 @@ def transducer_loss_pallas(joint_params, audio, text, targets, t_lens, u_lens,
     lp_label = jnp.where(u_mask[:, None, :],
                          label_logit[:, :T, :U1] - lse, NEG)
 
-    losses = lattice_nll(lp_blank, lp_label, t_lens, u_lens)
+    losses = lattice_nll(lp_blank, lp_label, t_lens, u_lens, mesh=mesh)
     if reduction == "mean":
         return jnp.mean(losses)
     if reduction == "sum":

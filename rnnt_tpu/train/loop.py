@@ -49,12 +49,15 @@ def _load_datasets(cfg: Config):
     dc = cfg.data
     if dc.dataset == "synthetic":
         train = synthetic_dataset(dc.synthetic_size, dc.synthetic_seconds, seed=0)
+        if dc.eval_on_train:
+            return train, train
         evals = synthetic_dataset(max(dc.synthetic_size // 8, 8),
                                   dc.synthetic_seconds, seed=1)
         return train, evals
     if dc.dataset == "librispeech":
         train = librispeech_dataset(dc.train_splits, dc.cache_dir)
-        evals = librispeech_dataset([dc.eval_split], dc.cache_dir)
+        evals = (train if dc.eval_on_train
+                 else librispeech_dataset([dc.eval_split], dc.cache_dir))
         return train, evals
     raise ValueError(f"unknown dataset {dc.dataset}")
 
@@ -162,7 +165,8 @@ def train(cfg: Config, *, output_base: str = "experiments",
         if is_main:
             print(f"Resumed from {resume} at step {int(state.step)}")
 
-    step_fn = jax.jit(make_train_step(spec, fspec, tx, tc.precision),
+    step_fn = jax.jit(make_train_step(spec, fspec, tx, tc.precision,
+                                      mesh=mesh),
                       donate_argnums=(0,))
     eval_forward = jax.jit(make_eval_forward(spec, fspec, tc.precision))
     max_eval_tokens = max(tc.token_buckets)

@@ -37,7 +37,8 @@ def feature_lens_from_samples(audio_lens: jax.Array,
     return jnp.maximum(n, 0).astype(jnp.int32)
 
 
-def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str):
+def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
+                 mesh=None):
     """Loss over a raw-audio batch; featurization happens on device."""
     featurize = make_featurizer(fspec)
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
@@ -54,22 +55,22 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str):
             from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
             loss = transducer_loss_pallas(
                 params["joint"], audio, text, batch["targets"], t_lens,
-                batch["target_lens"], spec.blank_idx)
+                batch["target_lens"], spec.blank_idx, mesh=mesh)
         else:
             loss = transducer_loss(
                 params["joint"], audio, text, batch["targets"], t_lens,
                 batch["target_lens"], spec.blank_idx,
-                chunk_size=spec.loss_chunk_size)
+                chunk_size=spec.loss_chunk_size, mesh=mesh)
         return loss, new_state
 
     return loss_fn
 
 
 def make_train_step(spec: RNNTSpec, fspec: FeaturizerSpec, tx,
-                    precision: str = "bf16"):
+                    precision: str = "bf16", mesh=None):
     """Returns step(state, batch, rng) -> (state, metrics).  Jit/shard it
     with the shardings from rnnt_tpu.parallel."""
-    loss_fn = make_loss_fn(spec, fspec, precision)
+    loss_fn = make_loss_fn(spec, fspec, precision, mesh=mesh)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
