@@ -67,7 +67,7 @@ def main(argv=None) -> None:
     invstddev = 1.0 / np.sqrt(np.maximum(var, 1e-10))
 
     with open(args.out, "w") as f:
-        json.dump({"mean": mean.tolist(), "invstddev": invstddev.tolist()},
+        json.dump({"means": mean.tolist(), "invstddev": invstddev.tolist()},
                   f)
     print(f"wrote {args.out}: {count} frames over {n} utterances")
 

@@ -218,7 +218,9 @@ def build_featurizer_spec(cfg: Config) -> FeaturizerSpec:
     if fc.global_stats:
         import json
         stats = json.loads(Path(fc.global_stats).read_text())
-        mean = stats["mean"]
+        # Accept ours ("mean") and the reference's schema ("means",
+        # /root/reference/global_features.json).
+        mean = stats.get("mean", stats.get("means"))
         invstd = stats["invstddev"]
     log_mode = {"spectrogram": "piecewise", "old_piecewise": "old_piecewise",
                 "mel": "old_piecewise", "log": "log"}[fc.kind]
