@@ -19,6 +19,47 @@ import numpy as np
 BASELINE_AUDIO_SECONDS_PER_S = 240.0
 
 
+def bench_decode() -> None:
+    """Secondary benchmark: batched greedy decode throughput on encoder
+    output (the reference prints per-sample eval latency, rnnt/eval.py:110)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship, _synthetic_batch
+    from rnnt_tpu.decode.greedy import greedy_decode
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.step import make_eval_forward
+
+    cfg, spec, fspec = _flagship()
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    batch_size, seconds = 16, 10.0
+    batch = _synthetic_batch(fspec, batch=batch_size, seconds=seconds,
+                             max_tokens=64, vocab=cfg.num_total_symbols)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    fwd = jax.jit(make_eval_forward(spec, fspec, cfg.training.precision))
+    dec = jax.jit(lambda p, a, tl: greedy_decode(
+        p, a, tl, spec.predictor, spec.joint, max_tokens=200))
+
+    dec_params = {"predictor": params["predictor"], "joint": params["joint"]}
+    audio, t_lens = fwd(params, model_state, batch)
+    tokens, counts = dec(dec_params, audio, t_lens)
+    jax.block_until_ready(counts)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        audio, t_lens = fwd(params, model_state, batch)
+        tokens, counts = dec(dec_params, audio, t_lens)
+    jax.block_until_ready(counts)
+    dt = time.perf_counter() - t0
+    audio_seconds = batch_size * seconds * iters
+    print(json.dumps({
+        "metric": "greedy decode audio-seconds/s/chip (base RNN-T)",
+        "value": round(audio_seconds / dt, 2),
+        "unit": "audio-seconds/s",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -72,4 +113,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--decode" in sys.argv:
+        bench_decode()
+    else:
+        main()

@@ -117,7 +117,7 @@ class TrainingConfig:
     checkpoint_steps: int = 100000
     global_batch_size: int = 4
     clip_grad_norm: float = 10.0
-    loss_chunk_size: int = 32
+    loss_chunk_size: int = 16
     loss_impl: str = "chunked"  # chunked | pallas
     accumulate_steps: int = 1   # gradient accumulation microbatches
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)

@@ -35,7 +35,7 @@ class RNNTSpec:
     predictor: Union[ConvPredictorSpec, LSTMPredictorSpec]
     joint: JointSpec
     # Loss chunking along T; tune to the HBM budget.
-    loss_chunk_size: int = 32
+    loss_chunk_size: int = 16
     # "chunked" (XLA remat path) or "pallas" (fused lattice kernel).
     loss_impl: str = "chunked"
 

@@ -127,17 +127,22 @@ def _pick_v_chunk(V: int) -> int:
     return V
 
 
-def _bwd_dh_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
-                   g_blank_ref, g_label_ref, g_lse_ref,
-                   denc_ref, dpred_ref,
-                   h_scr, dh_scr, dpred_acc, *, blank_idx: int, n_v: int):
-    """Backward part 1: denc and dpred.
+def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
+                g_blank_ref, g_label_ref, g_lse_ref,
+                denc_ref, dpred_ref, dw_ref, db_ref,
+                h_scr, dh_scr, dpred_acc, *, blank_idx: int, n_v: int):
+    """Merged backward: one pass over the V chunks computes both the dh
+    accumulation (for denc/dpred) and the dW/db slab accumulation — the
+    joint logits for each chunk are materialized once, not twice.
 
-    Grid (B, T tiles, U tiles, V chunks), V innermost.  h3 is computed once
-    per lattice tile into scratch; dh accumulates across V chunks and turns
-    into denc/dpred on the last chunk.  Softmax comes from the forward's
-    logsumexp (flash-style) — no second max pass.
+    Grid (B, T tiles, U tiles, V chunks + 1), V innermost; the trailing
+    flush-only step converts dh -> denc/dpred so the matmul temporaries and
+    dpre3 are never co-resident.  h3 is cached per lattice tile in scratch;
+    dh accumulates in f32.  dW/db accumulate directly in slab-shaped constant-index output
+    buffers that persist in VMEM across the whole grid.  Softmax comes from
+    the forward's logsumexp (flash-style).
     """
+    bb = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     vc = pl.program_id(3)
@@ -155,13 +160,15 @@ def _bwd_dh_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
         h_scr[:] = jnp.tanh(enc_ref[0][:, None, :] + pred_ref[0][None, :, :])
         dh_scr[:] = jnp.zeros_like(dh_scr)
 
+    @pl.when((bb == 0) & (i == 0) & (j == 0) & (vc == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
     @pl.when((i == 0) & (j == 0) & (vc == 0))
     def _():
         dpred_acc[:] = jnp.zeros_like(dpred_acc)
 
-    # Main accumulation runs for vc in [0, n_v); the extra trailing grid
-    # step (vc == n_v) only converts dh -> denc/dpred, so the matmul
-    # temporaries and dpre3 are never co-resident in VMEM.
     @pl.when(vc < n_v)
     def _():
         h3 = h_scr[:]
@@ -176,14 +183,35 @@ def _bwd_dh_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
                 + b3(g_blank_ref[0]) * (col == blank_idx).astype(jnp.float32)
                 + b3(g_label_ref[0]) * onehot_ref[0].astype(jnp.float32)[None])
 
-        dh_scr[:] += jax.lax.dot_general(
-            dl_c.astype(w_ref.dtype), w_ref[:],
-            dimension_numbers=(((2,), (1,)), ((), ())),
+        # dh addend in two H-halves under fori_loop: one (T,U,H/2) f32
+        # buffer lives at a time instead of a full (T,U,H) one — the last
+        # ~1MB that pushed the merged kernel over the VMEM budget.
+        H = w_ref.shape[0]
+        half = H // 2
+
+        def dh_half(hc, carry):
+            w_h = w_ref[pl.ds(hc * half, half), :]  # (H/2, chunk)
+            add = jax.lax.dot_general(
+                dl_c.astype(w_ref.dtype), w_h,
+                dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dh_scr[:, :, pl.ds(hc * half, half)] += add
+            return carry
+
+        jax.lax.fori_loop(0, 2, dh_half, 0)
+
+        h_rows = h3.reshape(T_TILE * U_TILE, -1)
+        dl_rows = dl_c.reshape(T_TILE * U_TILE, chunk)
+        dw_ref[vc] += jax.lax.dot_general(
+            h_rows, dl_rows.astype(h_rows.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        db_ref[vc] += jnp.sum(dl_rows, axis=0, keepdims=True)
 
     @pl.when(vc == n_v)
     def _():
-        dpre3 = dh_scr[:] * (1.0 - h_scr[:].astype(jnp.float32) ** 2)
+        h3f = h_scr[:].astype(jnp.float32)
+        dpre3 = dh_scr[:].astype(jnp.float32) * (1.0 - h3f ** 2)
 
         @pl.when(j == 0)
         def _():
@@ -197,137 +225,70 @@ def _bwd_dh_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
             dpred_ref[0] = dpred_acc[:]
 
 
-def _bwd_dw_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
-                   g_blank_ref, g_label_ref, g_lse_ref,
-                   dw_ref, db_ref, h_scr, *, blank_idx: int):
-    """Backward part 2: dW and db, accumulated directly in slab-shaped
-    (n_v, H, chunk) output buffers whose block index is constant — the
-    buffers persist in VMEM across the whole grid and flush once."""
-    bb = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    vc = pl.program_id(3)
-
-    chunk = w_ref.shape[1]
-    shape_c = (T_TILE, U_TILE, chunk)
-
-    def b3(x):
-        return jax.lax.broadcast_in_dim(x, shape_c, (0, 1))
-
-    @pl.when(vc == 0)
-    def _():
-        h_scr[:] = jnp.tanh(enc_ref[0][:, None, :] + pred_ref[0][None, :, :])
-
-    @pl.when((bb == 0) & (i == 0) & (j == 0) & (vc == 0))
-    def _():
-        dw_ref[:] = jnp.zeros_like(dw_ref)
-        db_ref[:] = jnp.zeros_like(db_ref)
-
-    h3 = h_scr[:]
-    logits_c = jax.lax.dot_general(
-        h3, w_ref[:], (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    logits_c = logits_c + b_ref[:].astype(jnp.float32).reshape(1, 1, chunk)
-    p_c = jnp.exp(logits_c - b3(lse_ref[0]))
-
-    col = vc * chunk + jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
-    dl_c = (b3(g_lse_ref[0]) * p_c
-            + b3(g_blank_ref[0]) * (col == blank_idx).astype(jnp.float32)
-            + b3(g_label_ref[0]) * onehot_ref[0].astype(jnp.float32)[None])
-
-    h_rows = h3.reshape(T_TILE * U_TILE, -1)
-    dl_rows = dl_c.reshape(T_TILE * U_TILE, chunk)
-    dw_ref[vc] += jax.lax.dot_general(
-        h_rows.astype(jnp.float32), dl_rows,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    db_ref[vc] += jnp.sum(dl_rows, axis=0, keepdims=True)
-
-
 def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
                 blank_idx: int):
     B, T, H = enc.shape
     U1 = pred.shape[1]
     V = w.shape[1]
+    chunk = 128 if V % 128 == 0 else _pick_v_chunk(V)
+    n_v = V // chunk
+    grid = (B, T // T_TILE, U1 // U_TILE, n_v + 1)
+
     g_spec = pl.BlockSpec((1, T_TILE, U_TILE),
                           lambda bb, i, j, vc: (bb, i, j),
                           memory_space=pltpu.VMEM)
 
-    def make_in_specs(chunk, n_v):
-        # The flush step (vc == n_v, B1 only) clamps to the last real chunk
-        # so block fetches stay in bounds.
-        def vclamp(vc):
-            import jax.numpy as _jnp
-            return _jnp.minimum(vc, n_v - 1)
+    def vclamp(vc):
+        return jnp.minimum(vc, n_v - 1)
 
-        return [
-            pl.BlockSpec((1, T_TILE, H), lambda bb, i, j, vc: (bb, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_TILE, H), lambda bb, i, j, vc: (bb, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_TILE, chunk),
-                         lambda bb, i, j, vc: (bb, j, vclamp(vc)),
-                         memory_space=pltpu.VMEM),
-            g_spec,  # lse residual
-            g_spec, g_spec, g_spec,
-        ]
-
+    in_specs = [
+        pl.BlockSpec((1, T_TILE, H), lambda bb, i, j, vc: (bb, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, U_TILE, H), lambda bb, i, j, vc: (bb, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, U_TILE, chunk),
+                     lambda bb, i, j, vc: (bb, j, vclamp(vc)),
+                     memory_space=pltpu.VMEM),
+        g_spec,  # lse residual
+        g_spec, g_spec, g_spec,
+    ]
     args = (enc, pred, w, b[None, :], label_onehot, lse, g_blank, g_label,
             g_lse)
 
-    # B1 (denc/dpred): narrow chunks + a trailing flush-only grid step keep
-    # its working set well under the VMEM budget.
-    chunk1 = 128 if V % 128 == 0 else _pick_v_chunk(V)
-    n_v1 = V // chunk1
-    denc, dpred = pl.pallas_call(
-        functools.partial(_bwd_dh_kernel, blank_idx=blank_idx, n_v=n_v1),
-        grid=(B, T // T_TILE, U1 // U_TILE, n_v1 + 1),
-        in_specs=make_in_specs(chunk1, n_v1),
+    denc, dpred, dw_slabs, db_slabs = pl.pallas_call(
+        functools.partial(_bwd_kernel, blank_idx=blank_idx, n_v=n_v),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, T_TILE, H), lambda bb, i, j, vc: (bb, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U1, H), lambda bb, i, j, vc: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
-            jax.ShapeDtypeStruct((B, U1, H), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((T_TILE, U_TILE, H), enc.dtype),    # h3
-            pltpu.VMEM((T_TILE, U_TILE, H), jnp.float32),  # dh accumulator
-            pltpu.VMEM((U1, H), jnp.float32),              # dpred accumulator
-        ],
-        interpret=_interpret(),
-    )(*args)
-
-    chunk = _pick_v_chunk(V)
-    n_v = V // chunk
-    dw_slabs, db_slabs = pl.pallas_call(
-        functools.partial(_bwd_dw_kernel, blank_idx=blank_idx),
-        grid=(B, T // T_TILE, U1 // U_TILE, n_v),
-        in_specs=make_in_specs(chunk, n_v),
-        out_specs=[
             pl.BlockSpec((n_v, H, chunk), lambda bb, i, j, vc: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_v, 1, chunk), lambda bb, i, j, vc: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, U1, H), jnp.float32),
             jax.ShapeDtypeStruct((n_v, H, chunk), jnp.float32),
             jax.ShapeDtypeStruct((n_v, 1, chunk), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T_TILE, U_TILE, H), enc.dtype),    # h3
+            pltpu.VMEM((T_TILE, U_TILE, H), enc.dtype),      # h3
+            pltpu.VMEM((T_TILE, U_TILE, H), jnp.float32),    # dh accumulator
+            pltpu.VMEM((U1, H), jnp.float32),                # dpred accumulator
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024),
         interpret=_interpret(),
     )(*args)
 
-    # Slabs -> (H, V) / (1, V).
     dw = jnp.concatenate([dw_slabs[k] for k in range(n_v)], axis=1)
     db = jnp.concatenate([db_slabs[k] for k in range(n_v)], axis=1)
     return denc, dpred, dw, db

@@ -111,6 +111,15 @@ def train(cfg: Config, *, output_base: str = "experiments",
     rnnt/train.py:218)."""
     tc = cfg.training
     mesh = make_mesh(cfg.mesh.data, cfg.mesh.model)
+    # The global batch must divide the data axis; shrink the mesh to the
+    # largest data-axis size that divides it rather than erroring out.
+    if tc.global_batch_size % mesh.shape["data"] != 0:
+        d = mesh.shape["data"]
+        while tc.global_batch_size % d != 0:
+            d -= 1
+        mesh = make_mesh(d, cfg.mesh.model)
+        print(f"note: data axis reduced to {d} to divide global batch "
+              f"{tc.global_batch_size}")
     is_main = jax.process_index() == 0
 
     spec = build_model_spec(cfg)
@@ -152,15 +161,29 @@ def train(cfg: Config, *, output_base: str = "experiments",
     pshard = param_shardings(mesh, params)
     params = jax.device_put(params, pshard)
     model_state = jax.device_put(model_state, param_shardings(mesh, model_state))
-    opt_state = jax.jit(tx.init)(params)
+    # Explicit shardings: without them jit leaves scalar opt leaves on a
+    # single device, which conflicts with committed restored arrays on
+    # resume.  (TP refinement: mu/nu of model-sharded weights are
+    # replicated here; correct, slightly memory-suboptimal.)
+    opt_shapes = jax.eval_shape(tx.init, params)
+    opt_shardings = jax.tree.map(
+        lambda _: NamedSharding(mesh, P()), opt_shapes)
+    opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
     state = TrainState(params, opt_state, model_state, jnp.zeros((), jnp.int32))
 
     if resume:
         payload = {"params": state.params, "opt_state": state.opt_state,
                    "model_state": state.model_state, "step": 0}
         restored = ckpt.restore_checkpoint(resume, payload)
-        state = TrainState(restored["params"], restored["opt_state"],
-                           restored["model_state"],
+        # Re-place restored arrays on the mesh shardings the fresh state
+        # used (orbax restores to default single-device placement).
+        shardings = jax.tree.map(lambda x: x.sharding,
+                                 (state.params, state.opt_state,
+                                  state.model_state))
+        p, o, m = jax.device_put(
+            (restored["params"], restored["opt_state"],
+             restored["model_state"]), shardings)
+        state = TrainState(p, o, m,
                            jnp.asarray(restored["step"], jnp.int32))
         if is_main:
             print(f"Resumed from {resume} at step {int(state.step)}")

@@ -1,0 +1,52 @@
+"""Data pipeline tests: bucketing collation and the synthetic corpus."""
+
+import numpy as np
+
+from rnnt_tpu.data.dataset import BatchIterator, Buckets, synthetic_dataset
+from rnnt_tpu.data.tokenizer import UnigramTokenizer
+from rnnt_tpu.ops.stft import FeaturizerSpec
+
+SPM = "/root/reference/spm_unigram_1023.model"
+
+
+def test_bucket_arithmetic():
+    spec = FeaturizerSpec()
+    b = Buckets.from_frames([512, 1024], [64, 128], spec)
+    # sample bucket = win + (frames-1)*hop
+    assert b.sample_buckets == (400 + 511 * 160, 400 + 1023 * 160)
+    assert b.pick(1000, 10) == (b.sample_buckets[0], 64)
+    assert b.pick(b.sample_buckets[0] + 1, 10) == (b.sample_buckets[1], 64)
+    assert b.pick(10**9, 10) is None          # too long -> dropped
+    assert b.pick(1000, 10**6) is None
+
+
+def test_batch_iterator_shapes_and_masks():
+    tok = UnigramTokenizer.from_file(SPM)
+    spec = FeaturizerSpec()
+    buckets = Buckets.from_frames([512], [64], spec)
+    ds = synthetic_dataset(24, 2.0, seed=0)
+    batches = list(BatchIterator(ds, tok, buckets, batch_size=4,
+                                 shuffle=True, seed=1))
+    assert batches, "no batches produced"
+    for b in batches:
+        B, S = b["audio"].shape
+        assert B == 4 and S == buckets.sample_buckets[0]
+        assert b["targets"].shape == (4, 64)
+        for i in range(B):
+            # padding beyond the lens must be zeros
+            assert (b["audio"][i, b["audio_lens"][i]:] == 0).all()
+            assert (b["targets"][i, b["target_lens"][i]:] == 0).all()
+            assert b["target_lens"][i] > 0
+
+
+def test_iterator_deterministic_with_seed():
+    tok = UnigramTokenizer.from_file(SPM)
+    spec = FeaturizerSpec()
+    buckets = Buckets.from_frames([512], [64], spec)
+    ds = synthetic_dataset(16, 2.0, seed=0)
+    a = list(BatchIterator(ds, tok, buckets, batch_size=4, seed=7))
+    b = list(BatchIterator(ds, tok, buckets, batch_size=4, seed=7))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["audio"], y["audio"])
+        np.testing.assert_array_equal(x["targets"], y["targets"])
