@@ -31,6 +31,8 @@ def main(argv=None) -> None:
                     help="config yaml (default: next to checkpoint)")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--max-elements", type=int, default=200)
+    ap.add_argument("--beam", type=int, default=0,
+                    help="beam width (0 = greedy decode)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu, tpu)")
     args = ap.parse_args(argv)
@@ -60,8 +62,14 @@ def main(argv=None) -> None:
 
     eval_forward = jax.jit(make_eval_forward(spec, fspec, cfg.training.precision))
     max_tokens = max(cfg.training.token_buckets)
-    decode_fn = jax.jit(lambda p, a, tl: greedy_decode(
-        p, a, tl, spec.predictor, spec.joint, max_tokens=max_tokens))
+    if args.beam > 0:
+        from rnnt_tpu.decode.beam import beam_decode
+        decode_fn = jax.jit(lambda p, a, tl: beam_decode(
+            p, a, tl, spec.predictor, spec.joint, beam_width=args.beam,
+            max_tokens=max_tokens)[:2])
+    else:
+        decode_fn = jax.jit(lambda p, a, tl: greedy_decode(
+            p, a, tl, spec.predictor, spec.joint, max_tokens=max_tokens))
 
     originals, decoded = [], []
     t0 = time.time()

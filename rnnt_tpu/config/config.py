@@ -120,6 +120,7 @@ class TrainingConfig:
     loss_chunk_size: int = 16
     loss_impl: str = "chunked"  # chunked | pallas
     accumulate_steps: int = 1   # gradient accumulation microbatches
+    spec_augment: bool = False  # device-side time/freq masking (train only)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     lr_schedule: LRScheduleConfig = field(default_factory=LRScheduleConfig)
     # Static-shape bucketing (replaces the reference's max_joint_size

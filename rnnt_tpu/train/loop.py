@@ -189,7 +189,8 @@ def train(cfg: Config, *, output_base: str = "experiments",
             print(f"Resumed from {resume} at step {int(state.step)}")
 
     step_fn = jax.jit(make_train_step(spec, fspec, tx, tc.precision,
-                                      mesh=mesh),
+                                      mesh=mesh,
+                                      spec_augment=tc.spec_augment),
                       donate_argnums=(0,))
     eval_forward = jax.jit(make_eval_forward(spec, fspec, tc.precision))
     max_eval_tokens = max(tc.token_buckets)

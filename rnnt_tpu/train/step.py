@@ -38,13 +38,17 @@ def feature_lens_from_samples(audio_lens: jax.Array,
 
 
 def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
-                 mesh=None):
+                 mesh=None, spec_augment: bool = False):
     """Loss over a raw-audio batch; featurization happens on device."""
     featurize = make_featurizer(fspec)
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     def loss_fn(params, model_state, batch, rng, training: bool):
         feats = featurize(batch["audio"])  # (B, T, bins) f32
+        if spec_augment and training and rng is not None:
+            from rnnt_tpu.data.augment import spec_augment as _sa
+            rng, sa_rng = jax.random.split(rng)
+            feats = _sa(sa_rng, feats)
         feats = feats.astype(compute_dtype)
         feat_lens = feature_lens_from_samples(batch["audio_lens"], fspec)
         audio, text, new_state = rnnt_forward(
@@ -67,10 +71,12 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
 
 
 def make_train_step(spec: RNNTSpec, fspec: FeaturizerSpec, tx,
-                    precision: str = "bf16", mesh=None):
+                    precision: str = "bf16", mesh=None,
+                    spec_augment: bool = False):
     """Returns step(state, batch, rng) -> (state, metrics).  Jit/shard it
     with the shardings from rnnt_tpu.parallel."""
-    loss_fn = make_loss_fn(spec, fspec, precision, mesh=mesh)
+    loss_fn = make_loss_fn(spec, fspec, precision, mesh=mesh,
+                           spec_augment=spec_augment)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
