@@ -9,7 +9,6 @@ the capability the reference left as a TODO (rnnt/infer.py:61).
 from __future__ import annotations
 
 import argparse
-import struct
 import wave
 
 import jax

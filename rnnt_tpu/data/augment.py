@@ -148,10 +148,12 @@ class Augmentor:
         self.augmentations = augmentations
         self.rng = np.random.RandomState(seed)
 
-    def __call__(self, audio: np.ndarray, sample_rate: int) -> np.ndarray:
+    def __call__(self, audio: np.ndarray, sample_rate: int,
+                 rng: np.random.RandomState | None = None) -> np.ndarray:
+        rng = rng if rng is not None else self.rng
         for aug in self.augmentations:
-            if self.rng.rand() < aug.p:
-                audio = aug.apply(audio, sample_rate, self.rng)
+            if rng.rand() < aug.p:
+                audio = aug.apply(audio, sample_rate, rng)
         return audio
 
 

@@ -18,7 +18,6 @@ TPU-native restructuring:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Iterator, Sequence
 
@@ -138,7 +137,7 @@ class BatchIterator:
     def __init__(self, dataset, tokenizer: UnigramTokenizer, buckets: Buckets,
                  batch_size: int, *, augmentor=None, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 max_batches: int | None = None):
+                 max_batches: int | None = None, num_workers: int = 0):
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.buckets = buckets
@@ -148,32 +147,51 @@ class BatchIterator:
         self.seed = seed
         self.drop_last = drop_last
         self.max_batches = max_batches
+        self.num_workers = num_workers
+
+    def _process(self, idx: int):
+        """Load + augment + tokenize one utterance (thread-safe: fresh
+        RNG per row so a worker pool gives deterministic results)."""
+        row = self.dataset[int(idx)]
+        audio = np.asarray(row["audio"]["array"], dtype=np.float32)
+        sr = row["audio"].get("sampling_rate", 16000)
+        if self.augmentor is not None:
+            rng = np.random.RandomState((self.seed * 1_000_003 + idx)
+                                        % (2 ** 31 - 1))
+            audio = self.augmentor(audio, sr, rng=rng)
+        tokens = self.tokenizer.encode(row["text"].lower())
+        return audio, tokens
 
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.dataset))
         rng = np.random.RandomState(self.seed)
         if self.shuffle:
             rng.shuffle(order)
+        if self.num_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            rows = pool.map(self._process, order, chunksize=4)
+        else:
+            pool = None
+            rows = map(self._process, order)
         pending: dict[tuple[int, int], list] = {}
         emitted = 0
-        for idx in order:
-            row = self.dataset[int(idx)]
-            audio = np.asarray(row["audio"]["array"], dtype=np.float32)
-            sr = row["audio"].get("sampling_rate", 16000)
-            if self.augmentor is not None:
-                audio = self.augmentor(audio, sr)
-            tokens = self.tokenizer.encode(row["text"].lower())
-            if len(tokens) == 0:
-                continue
-            b = self.buckets.pick(len(audio), len(tokens))
-            if b is None:
-                continue  # too long for any bucket; drop (logged by caller)
-            pending.setdefault(b, []).append((audio, tokens))
-            if len(pending[b]) == self.batch_size:
-                yield self._collate(pending.pop(b), b)
-                emitted += 1
-                if self.max_batches and emitted >= self.max_batches:
-                    return
+        try:
+            for audio, tokens in rows:
+                if len(tokens) == 0:
+                    continue
+                b = self.buckets.pick(len(audio), len(tokens))
+                if b is None:
+                    continue  # too long for any bucket; drop
+                pending.setdefault(b, []).append((audio, tokens))
+                if len(pending[b]) == self.batch_size:
+                    yield self._collate(pending.pop(b), b)
+                    emitted += 1
+                    if self.max_batches and emitted >= self.max_batches:
+                        return
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
         if not self.drop_last:
             for b, items in pending.items():
                 if items:

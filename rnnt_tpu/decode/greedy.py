@@ -34,7 +34,6 @@ from rnnt_tpu.models.predictor import (
     LSTMPredictorSpec,
     lstm_predictor_init_state,
 )
-from rnnt_tpu.ops.causal_conv import causal_conv_apply  # noqa: F401 (docs)
 from rnnt_tpu.ops.norm import layer_norm_apply
 
 

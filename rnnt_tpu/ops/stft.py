@@ -18,7 +18,7 @@ time-major feature-last ``(B, frames, bins)``.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import jax

@@ -12,7 +12,6 @@ train loop.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 
 import jax

@@ -30,7 +30,7 @@ from rnnt_tpu.data.dataset import (
 from rnnt_tpu.data.tokenizer import UnigramTokenizer
 from rnnt_tpu.decode.greedy import greedy_decode
 from rnnt_tpu.models.rnnt import rnnt_init
-from rnnt_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+from rnnt_tpu.parallel.mesh import make_mesh, param_shardings
 from rnnt_tpu.train import checkpoint as ckpt
 from rnnt_tpu.train.metrics import wer
 from rnnt_tpu.train.optim import make_optimizer
@@ -271,8 +271,10 @@ def train(cfg: Config, *, output_base: str = "experiments",
             break
         it = BatchIterator(train_ds, tokenizer, buckets,
                            batch_size=tc.global_batch_size,
-                           augmentor=augmentor, shuffle=True, seed=epoch)
-        for batch in it:
+                           augmentor=augmentor, shuffle=True, seed=epoch,
+                           num_workers=cfg.data.num_workers)
+        from rnnt_tpu.data.pipeline import PrefetchIterator
+        for batch in PrefetchIterator(it, depth=4):
             sb = _shard_batch(batch, mesh)
             state, metrics = step_fn(state, sb, rng)
             completed += 1

@@ -10,14 +10,12 @@ sharded on the data axis and XLA inserts the gradient all-reduce over ICI.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from rnnt_tpu.config.config import Config
 from rnnt_tpu.models.encoder import encoder_out_len
 from rnnt_tpu.models.rnnt import RNNTSpec, rnnt_forward
 from rnnt_tpu.ops.stft import FeaturizerSpec, make_featurizer
