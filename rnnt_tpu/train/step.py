@@ -55,9 +55,28 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
         t_lens = encoder_out_len(feat_lens, spec.encoder)
         if spec.loss_impl == "pallas":
             from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
-            loss = transducer_loss_pallas(
-                params["joint"], audio, text, batch["targets"], t_lens,
-                batch["target_lens"], spec.blank_idx, mesh=mesh)
+            if mesh is not None and mesh.shape.get("data", 1) > 1:
+                # The fused joint kernels are opaque to GSPMD (it would
+                # replicate them); run them per-shard over the data axis
+                # and mean-reduce outside (an XLA psum over ICI).
+                from functools import partial as _partial
+
+                from jax.sharding import PartitionSpec as P
+
+                fn = jax.shard_map(
+                    _partial(transducer_loss_pallas, blank=spec.blank_idx,
+                             reduction="none"),
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data"),
+                              P("data"), P("data")),
+                    out_specs=P("data"), check_vma=False)
+                losses = fn(params["joint"], audio, text, batch["targets"],
+                            t_lens, batch["target_lens"])
+                loss = jnp.mean(losses)
+            else:
+                loss = transducer_loss_pallas(
+                    params["joint"], audio, text, batch["targets"], t_lens,
+                    batch["target_lens"], spec.blank_idx)
         else:
             loss = transducer_loss(
                 params["joint"], audio, text, batch["targets"], t_lens,

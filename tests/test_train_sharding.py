@@ -117,3 +117,35 @@ def test_loss_decreases_quickly():
             first = float(metrics["loss"])
     last = float(metrics["loss"])
     assert last < first, (first, last)
+
+
+def test_dp_pallas_loss_matches_single_device():
+    """loss_impl=pallas on a data mesh runs the fused kernels per-shard
+    under shard_map; loss must match the single-device run."""
+    import dataclasses
+
+    from rnnt_tpu.config.config import build_model_spec, build_featurizer_spec
+
+    cfg = _tiny_cfg()
+    spec = dataclasses.replace(build_model_spec(cfg), loss_impl="pallas")
+    fspec = build_featurizer_spec(cfg)
+
+    def run(mesh_shape):
+        mesh = make_mesh(*mesh_shape)
+        tx, _ = make_optimizer(cfg.training, total_steps=100)
+        params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+        params = jax.device_put(params, param_shardings(mesh, params))
+        model_state = jax.device_put(model_state,
+                                     param_shardings(mesh, model_state))
+        opt_state = jax.jit(tx.init)(params)
+        state = TrainState(params, opt_state, model_state,
+                           jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(spec, fspec, tx,
+                                       cfg.training.precision, mesh=mesh))
+        batch = _shard(_batch(fspec, B=8), mesh)
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        return float(metrics["loss"])
+
+    l1 = run((1, 1))
+    l8 = run((8, 1))
+    np.testing.assert_allclose(l8, l1, rtol=2e-4, atol=2e-4)
