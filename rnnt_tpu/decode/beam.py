@@ -13,11 +13,13 @@ index.  Under pjit, per-beam state shards with the batch axis, so
 multi-chip beam decode exchanges hypotheses through the same XLA
 collectives as any other sharded computation.
 
-Simplification vs. textbook RNNT beam search: hypotheses with identical
-label histories arriving by different alignment paths are not merged
-(score-summed); with bounded expansions this changes scores only when
-duplicate prefixes land in the beam simultaneously — the standard
-practical trade for fixed shapes.
+Path merging: hypotheses with identical label histories arriving by
+different alignment paths are score-merged (log-sum-exp) at every frame
+boundary.  Merging there is exact: after the final (blank-forced)
+expansion round every live hypothesis has consumed frame t, so equal
+label histories imply equal predictor state and the merge is the
+textbook transducer path-sum — done with fixed shapes as a (K, K)
+equality matrix over the token buffers.
 """
 
 from __future__ import annotations
@@ -42,10 +44,33 @@ class _BeamState(NamedTuple):
     pred_state: tuple     # leaves (B*K, ...)
 
 
+def merge_duplicate_scores(tokens: jax.Array, n: jax.Array,
+                           score: jax.Array) -> jax.Array:
+    """Log-sum-exp scores of beam lanes holding identical label histories.
+
+    tokens (B, K, L) blank-padded, n (B, K) emission counts, score (B, K).
+    Returns new scores: the lowest-indexed lane of each duplicate group
+    carries the merged score; the other members drop to log-zero (they
+    fall out of the beam at the next top-k).  Token buffers are
+    blank-padded past ``n``, so whole-buffer equality plus equal ``n``
+    identifies equal histories exactly.
+    """
+    K = score.shape[1]
+    eq = jnp.all(tokens[:, :, None, :] == tokens[:, None, :, :], axis=-1)
+    eq &= n[:, :, None] == n[:, None, :]
+    live = score > _NEG / 2
+    eq &= live[:, :, None] & live[:, None, :]
+    first = jnp.argmax(eq, axis=-1)  # lowest dup index (eq[i,i] for live i)
+    is_canon = (first == jnp.arange(K)[None, :]) & live
+    contrib = jnp.where(eq, score[:, None, :], _NEG)
+    merged = jax.nn.logsumexp(contrib, axis=-1)
+    return jnp.where(is_canon, merged, jnp.where(live, _NEG, score))
+
+
 def beam_decode(params, audio: jax.Array, t_lens: jax.Array,
                 predictor_spec, joint_spec, *, beam_width: int = 8,
                 max_tokens: int = 200, expansions_per_frame: int = 3,
-                length_norm: bool = True):
+                length_norm: bool = True, merge_paths: bool = True):
     """Batched beam decode over encoder output.
 
     params: {"predictor", "joint"}; audio (B, T, H); t_lens (B,).
@@ -138,6 +163,10 @@ def beam_decode(params, audio: jax.Array, t_lens: jax.Array,
             allow = r < expansions_per_frame
             new_state, expanding = expansion_round(
                 (new_state, expanding), allow, frame)
+
+        if merge_paths:
+            new_state = new_state._replace(score=merge_duplicate_scores(
+                new_state.tokens, new_state.n, new_state.score))
 
         # Freeze lanes whose audio is exhausted.
         def sel(new, old):

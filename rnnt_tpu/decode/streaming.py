@@ -122,3 +122,160 @@ class StreamingSession:
 
     def tokens(self, b: int = 0) -> list[int]:
         return self._tokens[b]
+
+
+@jax.jit
+def _gather_lanes(tree, idx):
+    return jax.tree.map(lambda x: x[idx], tree)
+
+
+@jax.jit
+def _scatter_lanes(tree, sub, idx):
+    return jax.tree.map(lambda x, s: x.at[idx].set(s), tree, sub)
+
+
+class StreamingSessionPool:
+    """Continuous-batching serving runtime: up to ``slots`` independent
+    audio streams multiplexed onto ONE set of stacked device state arrays.
+
+    Where ``StreamingSession(batch=N)`` steps N streams in lockstep (all
+    must feed together), the pool lets each stream feed at its own pace:
+    ``pump()`` collects every slot with a full chunk buffered, gathers just
+    those lanes from the stacked conv/decode state, runs one fixed-shape
+    encoder+decode step on the sub-batch, and scatters the lanes back.
+    Sub-batches are padded to power-of-two sizes (bounded compile count);
+    padding lanes read/write a sink lane whose state is never surfaced.
+
+    This is the capability step past the reference's browser runtime
+    (reference rnnt-js/index.js:120-230 — strictly one stream per page):
+    a single device serves many concurrent callers without per-session
+    jit programs or lockstep feeding.
+    """
+
+    def __init__(self, params, model_state, spec: RNNTSpec,
+                 fspec: FeaturizerSpec, *, slots: int = 8,
+                 chunk_seconds: float = 0.2,
+                 max_tokens_per_chunk: int = 64,
+                 max_symbols_per_step: int = 10):
+        self.params = params
+        self.model_state = model_state
+        self.spec = spec
+        self.fspec = fspec
+        self.slots = slots
+
+        hop = fspec.hop_length
+        self.frames_per_chunk = max(int(round(chunk_seconds
+                                              * fspec.sample_rate)) // hop, 1)
+        self.chunk_samples = self.frames_per_chunk * hop
+        self._need = self.chunk_samples + fspec.overlap
+
+        self._featurize = jax.jit(make_featurizer(fspec))
+        self._dec_params = {"predictor": params["predictor"],
+                            "joint": params["joint"]}
+        # Lane `slots` is the sink used by sub-batch padding.
+        self.conv_states = encoder_streaming_init_state(slots + 1,
+                                                        spec.encoder)
+        self.decode_carry = decode_init_carry(
+            self._dec_params, spec.predictor, spec.joint, slots + 1)
+        self._fresh_conv = encoder_streaming_init_state(1, spec.encoder)
+        self._fresh_carry = decode_init_carry(
+            self._dec_params, spec.predictor, spec.joint, 1)
+
+        self._free = list(range(slots))
+        self._buffers: dict[int, np.ndarray] = {}
+        self._tokens: dict[int, list[int]] = {}
+
+        @jax.jit
+        def _encode_chunk(params, model_state, feats, conv_states):
+            return encoder_streaming_apply(
+                params["encoder"], model_state["encoder"], feats,
+                conv_states, spec.encoder)
+
+        @jax.jit
+        def _decode_chunk(dec_params, enc, t_lens, carry):
+            return greedy_decode_incremental(
+                dec_params, enc, t_lens, spec.predictor, spec.joint,
+                max_tokens=max_tokens_per_chunk,
+                max_symbols_per_step=max_symbols_per_step, carry=carry)
+
+        self._encode_chunk = _encode_chunk
+        self._decode_chunk = _decode_chunk
+
+    def open(self) -> int:
+        """Claim a free slot; its stream state starts fresh."""
+        if not self._free:
+            raise RuntimeError(f"all {self.slots} slots in use")
+        slot = self._free.pop(0)
+        idx = jnp.array([slot])
+        self.conv_states = _scatter_lanes(self.conv_states,
+                                          self._fresh_conv, idx)
+        self.decode_carry = _scatter_lanes(self.decode_carry,
+                                           self._fresh_carry, idx)
+        self._buffers[slot] = np.zeros((0,), np.float32)
+        self._tokens[slot] = []
+        return slot
+
+    def close(self, slot: int) -> None:
+        self._buffers.pop(slot, None)
+        self._tokens.pop(slot, None)
+        if slot not in self._free:
+            self._free.append(slot)
+
+    def feed(self, slot: int, samples: np.ndarray) -> None:
+        """Buffer host samples for one stream (no device work)."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buffers[slot] = np.concatenate([self._buffers[slot], samples])
+
+    def flush(self, slot: int) -> None:
+        """Zero-pad a stream's tail so its remaining audio decodes on the
+        next pump (end-of-stream)."""
+        buf = self._buffers[slot]
+        if buf.shape[0] == 0:
+            return
+        pad = max(self._need - buf.shape[0], 0)
+        self._buffers[slot] = np.concatenate(
+            [buf, np.zeros((pad,), np.float32)])
+
+    def pump(self) -> dict[int, list[int]]:
+        """Step every stream with a full chunk buffered; returns the newly
+        emitted token ids per stepped slot."""
+        out: dict[int, list[int]] = {}
+        while True:
+            ready = [s for s, b in self._buffers.items()
+                     if b.shape[0] >= self._need]
+            if not ready:
+                return out
+            ready = ready[: self.slots]
+            n = 1
+            while n < len(ready):
+                n *= 2
+            idx_np = np.full((n,), self.slots, np.int64)
+            idx_np[: len(ready)] = ready
+            chunk = np.zeros((n, self._need), np.float32)
+            for i, s in enumerate(ready):
+                chunk[i] = self._buffers[s][: self._need]
+                self._buffers[s] = self._buffers[s][self.chunk_samples:]
+
+            idx = jnp.asarray(idx_np)
+            conv_sub = _gather_lanes(self.conv_states, idx)
+            carry_sub = _gather_lanes(self.decode_carry, idx)
+            feats = self._featurize(jnp.asarray(chunk))
+            enc, conv_sub = self._encode_chunk(
+                self.params, self.model_state, feats, conv_sub)
+            self.conv_states = _scatter_lanes(self.conv_states, conv_sub,
+                                              idx)
+            if enc.shape[1] > 0:
+                t_lens = jnp.full((n,), enc.shape[1], jnp.int32)
+                tokens, counts, carry_sub = self._decode_chunk(
+                    self._dec_params, enc, t_lens, carry_sub)
+                self.decode_carry = _scatter_lanes(self.decode_carry,
+                                                   carry_sub, idx)
+                tokens = np.asarray(tokens)
+                counts = np.asarray(counts)
+                for i, s in enumerate(ready):
+                    new = [int(t) for t in tokens[i, : counts[i]]]
+                    self._tokens[s].extend(new)
+                    out.setdefault(s, []).extend(new)
+
+    def tokens(self, slot: int) -> list[int]:
+        return self._tokens[slot]

@@ -30,14 +30,27 @@ from jax.experimental.pallas import tpu as pltpu
 from rnnt_tpu.ops.transducer import NEG, lattice_nll
 
 # Tile sizes: rows = T_TILE * U_TILE feed the MXU as (rows, H) @ (H, V).
-# Mosaic requires block shapes whose trailing dims are divisible by (8, 128),
-# so the lattice tiles are 8 frames x 128 labels -> 1024-row matmuls.
+# Mosaic requires block shapes whose trailing dims are divisible by (8, 128)
+# OR equal to the full array dims.  The U tile exploits the second rule:
+# when the padded label axis fits in one tile (U1 <= 128) the lattice is
+# tiled (8, round_up(U1, 8)) instead of (8, 128) — at the base config's
+# U1 = 65 that skips 44% of the joint matmul work the fixed 128-wide tile
+# would burn on padding.
 T_TILE = 8
-U_TILE = 128
+U_TILE_MAX = 128
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _pick_u(U1: int) -> tuple[int, int]:
+    """(u_tile, u_pad): one full-width tile when U1 fits, else 128-tiles."""
+    if U1 <= U_TILE_MAX:
+        u_pad = _cdiv(U1, 8) * 8
+        return u_pad, u_pad
+    u_pad = _cdiv(U1, U_TILE_MAX) * U_TILE_MAX
+    return U_TILE_MAX, u_pad
 
 
 def _interpret() -> bool:
@@ -76,17 +89,17 @@ def _fwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref,
     label_ref[0] = jnp.sum(logits * onehot[None, :, :], axis=-1)
 
 
-def _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx: int):
+def _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx: int, u_tile: int):
     """enc (B,T,H), pred (B,U1,H), w (H,V), b (V,),
     label_onehot (B,U1,V) one-hot of the label leaving each lattice column.
     Returns (lse, blank_logit, label_logit), each (B, T, U1) f32.
     T and U1 must be multiples of the tiles (caller pads)."""
     B, T, H = enc.shape
     U1 = pred.shape[1]
-    grid = (B, T // T_TILE, U1 // U_TILE)
+    grid = (B, T // T_TILE, U1 // u_tile)
 
     out_shape = [jax.ShapeDtypeStruct((B, T, U1), jnp.float32)] * 3
-    out_spec = pl.BlockSpec((1, T_TILE, U_TILE),
+    out_spec = pl.BlockSpec((1, T_TILE, u_tile),
                             lambda bb, i, j: (bb, i, j),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -95,13 +108,13 @@ def _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx: int):
         in_specs=[
             pl.BlockSpec((1, T_TILE, H), lambda bb, i, j: (bb, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_TILE, H), lambda bb, i, j: (bb, j, 0),
+            pl.BlockSpec((1, u_tile, H), lambda bb, i, j: (bb, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, w.shape[1]), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b.shape[0]), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, U_TILE, w.shape[1]), lambda bb, i, j: (bb, j, 0),
+            pl.BlockSpec((1, u_tile, w.shape[1]), lambda bb, i, j: (bb, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec, out_spec],
@@ -149,8 +162,10 @@ def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
     n_i = pl.num_programs(1)
     n_j = pl.num_programs(2)
 
+    t_tile = enc_ref.shape[1]
+    u_tile = pred_ref.shape[1]
     chunk = w_ref.shape[1]
-    shape_c = (T_TILE, U_TILE, chunk)
+    shape_c = (t_tile, u_tile, chunk)
 
     def b3(x):
         return jax.lax.broadcast_in_dim(x, shape_c, (0, 1))
@@ -200,8 +215,8 @@ def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
 
         jax.lax.fori_loop(0, 2, dh_half, 0)
 
-        h_rows = h3.reshape(T_TILE * U_TILE, -1)
-        dl_rows = dl_c.reshape(T_TILE * U_TILE, chunk)
+        h_rows = h3.reshape(t_tile * u_tile, -1)
+        dl_rows = dl_c.reshape(t_tile * u_tile, chunk)
         dw_ref[vc] += jax.lax.dot_general(
             h_rows, dl_rows.astype(h_rows.dtype),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -218,7 +233,7 @@ def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
             denc_ref[0] = jnp.zeros_like(denc_ref[0])
 
         denc_ref[0] += jnp.sum(dpre3, axis=1)
-        dpred_acc[pl.ds(j * U_TILE, U_TILE), :] += jnp.sum(dpre3, axis=0)
+        dpred_acc[pl.ds(j * u_tile, u_tile), :] += jnp.sum(dpre3, axis=0)
 
         @pl.when((i == n_i - 1) & (j == n_j - 1))
         def _():
@@ -226,15 +241,15 @@ def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
 
 
 def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
-                blank_idx: int):
+                blank_idx: int, u_tile: int):
     B, T, H = enc.shape
     U1 = pred.shape[1]
     V = w.shape[1]
     chunk = 128 if V % 128 == 0 else _pick_v_chunk(V)
     n_v = V // chunk
-    grid = (B, T // T_TILE, U1 // U_TILE, n_v + 1)
+    grid = (B, T // T_TILE, U1 // u_tile, n_v + 1)
 
-    g_spec = pl.BlockSpec((1, T_TILE, U_TILE),
+    g_spec = pl.BlockSpec((1, T_TILE, u_tile),
                           lambda bb, i, j, vc: (bb, i, j),
                           memory_space=pltpu.VMEM)
 
@@ -244,13 +259,13 @@ def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
     in_specs = [
         pl.BlockSpec((1, T_TILE, H), lambda bb, i, j, vc: (bb, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, U_TILE, H), lambda bb, i, j, vc: (bb, j, 0),
+        pl.BlockSpec((1, u_tile, H), lambda bb, i, j, vc: (bb, j, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((H, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, U_TILE, chunk),
+        pl.BlockSpec((1, u_tile, chunk),
                      lambda bb, i, j, vc: (bb, j, vclamp(vc)),
                      memory_space=pltpu.VMEM),
         g_spec,  # lse residual
@@ -280,8 +295,8 @@ def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
             jax.ShapeDtypeStruct((n_v, 1, chunk), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T_TILE, U_TILE, H), enc.dtype),      # h3
-            pltpu.VMEM((T_TILE, U_TILE, H), jnp.float32),    # dh accumulator
+            pltpu.VMEM((T_TILE, u_tile, H), enc.dtype),      # h3
+            pltpu.VMEM((T_TILE, u_tile, H), jnp.float32),    # dh accumulator
             pltpu.VMEM((U1, H), jnp.float32),                # dpred accumulator
         ],
         compiler_params=pltpu.CompilerParams(
@@ -296,25 +311,25 @@ def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
 
 # --------------------------- custom_vjp wrapper ---------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_joint_outputs(enc, pred, w, b, label_onehot, blank_idx):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_joint_outputs(enc, pred, w, b, label_onehot, blank_idx, u_tile):
     """(lse, blank_logit, label_logit) over the padded lattice — all
-    (B, T, U1) f32.  T % T_TILE == 0 and U1 % U_TILE == 0 required."""
-    return _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx)
+    (B, T, U1) f32.  T % T_TILE == 0 and U1 % u_tile == 0 required."""
+    return _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx, u_tile)
 
 
-def _fjo_fwd(enc, pred, w, b, label_onehot, blank_idx):
-    outs = _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx)
+def _fjo_fwd(enc, pred, w, b, label_onehot, blank_idx, u_tile):
+    outs = _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx, u_tile)
     lse = outs[0]
     return outs, (enc, pred, w, b, label_onehot, lse)
 
 
-def _fjo_bwd(blank_idx, residuals, gs):
+def _fjo_bwd(blank_idx, u_tile, residuals, gs):
     enc, pred, w, b, label_onehot, lse = residuals
     g_lse, g_blank, g_label = gs
     denc, dpred, dw, db = _bwd_pallas(
         enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
-        blank_idx)
+        blank_idx, u_tile)
     return (denc.astype(enc.dtype), dpred.astype(pred.dtype),
             dw.astype(w.dtype), db[0].astype(b.dtype), None)
 
@@ -341,7 +356,7 @@ def transducer_loss_pallas(joint_params, audio, text, targets, t_lens, u_lens,
     B, T, H = audio.shape
     U1 = text.shape[1]
     T_pad = _cdiv(T, T_TILE) * T_TILE
-    U_pad = _cdiv(U1, U_TILE) * U_TILE
+    u_tile, U_pad = _pick_u(U1)
     audio_p = jnp.pad(audio, ((0, 0), (0, T_pad - T), (0, 0)))
     text_p = jnp.pad(text, ((0, 0), (0, U_pad - U1), (0, 0)))
     targets_pad = jnp.pad(
@@ -352,7 +367,7 @@ def transducer_loss_pallas(joint_params, audio, text, targets, t_lens, u_lens,
 
     lse, blank_logit, label_logit = fused_joint_outputs(
         audio_p, text_p.astype(audio_p.dtype), w.astype(audio_p.dtype),
-        b, label_onehot, blank)
+        b, label_onehot, blank, u_tile)
 
     lse = lse[:, :T, :U1]
     lp_blank = blank_logit[:, :T, :U1] - lse

@@ -6,8 +6,13 @@ Parity + extension: the reference writes
 interchange format every consumer rediscovers
 (rnnt/eval.py:26-30, rnnt/infer.py:24-25, rnnt/export_onnx.py:20-21) —
 but has *no training resume path*.  Here checkpoints are orbax
-(multi-host-safe, async-capable) and restore feeds straight back into the
-train loop.
+(multi-host-safe) and restore feeds straight back into the train loop.
+
+Saves are **asynchronous** by default: orbax copies the arrays to host
+synchronously, then persists to disk in a background thread while
+training continues — the device never idles on checkpoint I/O.  Callers
+that need durability *now* (final/emergency checkpoints) pass
+``wait=True``; ``wait_for_checkpoints()`` drains any pending save.
 """
 
 from __future__ import annotations
@@ -24,14 +29,39 @@ def checkpoint_dir(output_dir: str | Path, step: int) -> Path:
     return Path(output_dir) / f"checkpoint_step_{step}"
 
 
-def save_checkpoint(output_dir: str | Path, state, cfg: Config | None = None):
-    """Save a TrainState; writes config.yaml beside it (interchange format)."""
+_CKPTR: ocp.StandardCheckpointer | None = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async save has committed to disk."""
+    if _CKPTR is not None:
+        _CKPTR.wait_until_finished()
+
+
+def save_checkpoint(output_dir: str | Path, state, cfg: Config | None = None,
+                    *, wait: bool = False):
+    """Save a TrainState; writes config.yaml beside it (interchange format).
+
+    Returns once the arrays are snapshotted to host; disk persistence
+    continues in the background (``wait=True`` blocks until committed).
+    Donation-safe: the snapshot happens before return, so the train step
+    may overwrite the live buffers immediately.
+    """
     path = checkpoint_dir(output_dir, int(state.step)).absolute()
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # at most one save in flight
     payload = {"params": state.params, "opt_state": state.opt_state,
                "model_state": state.model_state, "step": int(state.step)}
     ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    if wait:
+        ckptr.wait_until_finished()
     if cfg is not None and jax.process_index() == 0:
         save_config(cfg, Path(output_dir) / "config.yaml")
 
@@ -51,7 +81,8 @@ def restore_checkpoint(path: str | Path, template=None):
     training resume.  Without it the full on-disk tree is returned as host
     arrays — use for eval/infer/export, which only need params/model_state
     (the reference's consumers restore the same way, rnnt/eval.py:32-48)."""
-    ckptr = ocp.StandardCheckpointer()
+    wait_for_checkpoints()  # never read a checkpoint still being written
+    ckptr = _checkpointer()
     if template is None:
         return ckptr.restore(Path(path).absolute())
     return ckptr.restore(Path(path).absolute(), template)

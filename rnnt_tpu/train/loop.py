@@ -215,7 +215,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
         last_loss = float(pending[-1][1]["loss"])
         if not np.isfinite(last_loss):
             if is_main:
-                ckpt.save_checkpoint(output_dir, state, cfg)
+                ckpt.save_checkpoint(output_dir, state, cfg, wait=True)
             raise FloatingPointError(
                 f"non-finite loss {last_loss} at step {pending[-1][0]}; "
                 f"emergency checkpoint saved to {output_dir}")
@@ -286,6 +286,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
                 flush_metrics(epoch)
                 run_eval()
             if completed % tc.checkpoint_steps == 0 and is_main:
+                # Async: snapshots to host, persists in the background.
                 ckpt.save_checkpoint(output_dir, state, cfg)
             if completed >= total_steps:
                 done = True
@@ -295,6 +296,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
     if np.isnan(last_wer):
         run_eval()
     if is_main:
-        ckpt.save_checkpoint(output_dir, state, cfg)
+        ckpt.save_checkpoint(output_dir, state, cfg, wait=True)
+    ckpt.wait_for_checkpoints()
     logger.close()
     return last_wer

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rnnt_tpu.decode.beam import beam_decode
+from rnnt_tpu.decode.beam import beam_decode, merge_duplicate_scores
 from rnnt_tpu.decode.greedy import greedy_decode
 from rnnt_tpu.models.joint import JointSpec, joint_init, joint_single
 from rnnt_tpu.models.predictor import ConvPredictorSpec, conv_predictor_init
@@ -56,3 +56,37 @@ def test_beam_width_runs_and_is_finite():
         toks = np.asarray(tokens[b, : int(counts[b])])
         assert ((toks >= 0) & (toks < jspec.num_classes)).all()
         assert (toks != jspec.blank_idx).all()
+
+
+def test_merge_duplicate_scores_unit():
+    blank = 11
+    # Lanes 0 and 2 hold the same history [3, 5]; lane 1 differs; lane 3 dead.
+    tokens = jnp.full((1, 4, 6), blank, jnp.int32)
+    tokens = tokens.at[0, 0, :2].set(jnp.array([3, 5]))
+    tokens = tokens.at[0, 1, :2].set(jnp.array([3, 7]))
+    tokens = tokens.at[0, 2, :2].set(jnp.array([3, 5]))
+    n = jnp.array([[2, 2, 2, 0]], jnp.int32)
+    score = jnp.array([[-1.0, -2.0, -1.5, -1e30]], jnp.float32)
+
+    out = np.asarray(merge_duplicate_scores(tokens, n, score))[0]
+    assert np.isclose(out[0], np.logaddexp(-1.0, -1.5)), out
+    assert np.isclose(out[1], -2.0), out
+    assert out[2] <= -1e29, "duplicate lane must drop to log-zero"
+    assert out[3] <= -1e29, "dead lane stays dead"
+
+
+def test_merge_does_not_lose_mass_vs_no_merge():
+    # Path-merging can only add probability mass to the surviving
+    # hypothesis: the best merged score must be >= the best unmerged one.
+    params, pspec, jspec = _setup(seed=9)
+    B, T, H = 2, 14, 16
+    audio = jax.random.normal(jax.random.PRNGKey(7), (B, T, H)) * 0.5
+    t_lens = jnp.array([T, 11])
+    _, _, s_merge = jax.jit(lambda p, a, tl: beam_decode(
+        p, a, tl, pspec, jspec, beam_width=8, max_tokens=20,
+        length_norm=False, merge_paths=True))(params, audio, t_lens)
+    _, _, s_plain = jax.jit(lambda p, a, tl: beam_decode(
+        p, a, tl, pspec, jspec, beam_width=8, max_tokens=20,
+        length_norm=False, merge_paths=False))(params, audio, t_lens)
+    assert (np.asarray(s_merge) >= np.asarray(s_plain) - 1e-5).all(), (
+        s_merge, s_plain)

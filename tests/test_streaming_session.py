@@ -77,3 +77,59 @@ def test_streaming_session_matches_offline():
 
     assert offline == streamed_tokens, (
         f"streamed {streamed_tokens} != offline {offline}")
+
+
+def test_session_pool_matches_single_sessions():
+    """Pool-multiplexed streams (different feed paces, padded sub-batches,
+    gather/scatter lanes) must emit exactly what dedicated per-stream
+    sessions emit."""
+    from rnnt_tpu.decode.streaming import StreamingSessionPool
+
+    spec = _small_fullcausal_spec()
+    fspec = FeaturizerSpec()
+    params, model_state = rnnt_init(jax.random.PRNGKey(1), spec)
+    model_state = _randomize_stats(model_state, jax.random.PRNGKey(6))
+    b = params["joint"]["out"]["b"]
+    params["joint"]["out"]["b"] = b.at[spec.joint.blank_idx].set(2.0)
+
+    rng = np.random.RandomState(3)
+    waves = [rng.randn(12800).astype(np.float32) * 0.3 for _ in range(3)]
+
+    expected = []
+    for w in waves:
+        s = StreamingSession(params, model_state, spec, fspec)
+        for i in range(0, len(w), 3200):
+            s.feed(w[i:i + 3200])
+        expected.append(s.tokens())
+
+    pool = StreamingSessionPool(params, model_state, spec, fspec, slots=4,
+                                chunk_seconds=0.2)
+    slots = [pool.open() for _ in range(3)]
+    # Interleave feeds at different paces: stream 0 gets 200 ms at a time,
+    # stream 1 gets 400 ms, stream 2 arrives late.
+    pos = [0, 0, 0]
+    step_sizes = [3200, 6400, 3200]
+    for tick in range(10):
+        for j in range(3):
+            if j == 2 and tick < 2:
+                continue
+            lo = pos[j]
+            hi = min(lo + step_sizes[j], len(waves[j]))
+            if lo < hi:
+                pool.feed(slots[j], waves[j][lo:hi])
+                pos[j] = hi
+        pool.pump()
+    for j in range(3):
+        assert pool.tokens(slots[j]) == expected[j], (
+            f"stream {j}: pool {pool.tokens(slots[j])} != {expected[j]}")
+
+    # Slot reuse must start clean: exhaust free slots so close/open recycles
+    # stream 0's lane, replay stream 1's audio and get stream 1's tokens.
+    extra = pool.open()
+    pool.close(slots[0])
+    s_new = pool.open()
+    assert s_new == slots[0], (s_new, extra)
+    for i in range(0, len(waves[1]), 3200):
+        pool.feed(s_new, waves[1][i:i + 3200])
+        pool.pump()
+    assert pool.tokens(s_new) == expected[1]

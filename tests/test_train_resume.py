@@ -57,3 +57,26 @@ def test_train_checkpoint_resume(tmp_path):
     steps = [json.loads(l)["step"] for l in metrics.splitlines()
              if '"loss/train"' in l]
     assert steps and min(steps) >= 4, steps
+
+
+def test_async_save_is_donation_safe(tmp_path):
+    """An async save must snapshot before returning: overwriting the live
+    buffers right after save_checkpoint() must not corrupt the checkpoint."""
+    import jax.numpy as jnp
+    from rnnt_tpu.train import checkpoint as ckpt
+
+    class State:
+        params = {"w": jnp.arange(8, dtype=jnp.float32)}
+        opt_state = {"m": jnp.zeros(8)}
+        model_state = {}
+        step = 7
+
+    s = State()
+    ckpt.save_checkpoint(tmp_path, s)  # async
+    # Simulate donation: clobber the arrays the save referenced.
+    s.params["w"] = s.params["w"] * 0 - 1.0
+    ckpt.wait_for_checkpoints()
+    restored = ckpt.restore_checkpoint(tmp_path / "checkpoint_step_7")
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(8, dtype=np.float32))
+    assert restored["step"] == 7
