@@ -118,7 +118,10 @@ class TrainingConfig:
     global_batch_size: int = 4
     clip_grad_norm: float = 10.0
     loss_chunk_size: int = 16
-    loss_impl: str = "chunked"  # chunked | pallas
+    # auto = fused Pallas joint on TPU, chunked XLA remat elsewhere (the
+    # fused kernels measure ~4% faster end-to-end on v5e; interpret mode
+    # would crawl on CPU).
+    loss_impl: str = "auto"  # auto | chunked | pallas
     accumulate_steps: int = 1   # gradient accumulation microbatches
     spec_augment: bool = False  # device-side time/freq masking (train only)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)

@@ -37,7 +37,7 @@ class RNNTSpec:
     # Loss chunking along T; tune to the HBM budget.
     loss_chunk_size: int = 16
     # "chunked" (XLA remat path) or "pallas" (fused lattice kernel).
-    loss_impl: str = "chunked"
+    loss_impl: str = "auto"  # auto | chunked | pallas
 
     @property
     def blank_idx(self) -> int:
@@ -55,6 +55,14 @@ def rnnt_init(key: jax.Array, spec: RNNTSpec, dtype=jnp.float32):
     }
     state = {"encoder": enc_state}
     return params, state
+
+
+def resolve_loss_impl(impl: str) -> str:
+    """'auto' -> the fused Pallas joint on TPU, the chunked XLA-remat joint
+    elsewhere (interpret-mode kernels are only for tests)."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "chunked"
+    return impl
 
 
 def prepend_blank(targets: jax.Array, blank_idx: int) -> jax.Array:
@@ -93,7 +101,7 @@ def rnnt_loss_apply(params, state, batch: dict, spec: RNNTSpec, *,
         params, state, batch["features"], spec, batch["targets"],
         training=training, rng=rng)
     t_lens = encoder_out_len(batch["feature_lens"], spec.encoder)
-    if spec.loss_impl == "pallas":
+    if resolve_loss_impl(spec.loss_impl) == "pallas":
         from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
         loss = transducer_loss_pallas(
             params["joint"], audio, text, batch["targets"], t_lens,

@@ -234,33 +234,34 @@ def _beta_pallas(lpb, lpl, alphas, t_lens_b, u_lens_b, ll_b, g_b):
 
 # ------------------------------ public op ------------------------------
 
-def _pad_to(x, axis, mult):
+def _pad_to(x, axis, mult, value=0.0):
     size = x.shape[axis]
     pad = (-size) % mult
     if pad == 0:
         return x
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
-    return jnp.pad(x, widths, constant_values=0.0)
+    return jnp.pad(x, widths, constant_values=value)
 
 
-@jax.custom_vjp
-def transducer_alpha_loss_fast(lp_blank, lp_label, t_lens, u_lens):
-    """Per-sample negative log-likelihood, shape (B,) — Pallas fast path
-    with the same contract as ``transducer_alpha_loss``."""
-    losses, _ = _forward_impl(lp_blank, lp_label, t_lens, u_lens)
-    return losses
-
-
-def _forward_impl(lp_blank, lp_label, t_lens, u_lens):
-    B, T, U = lp_blank.shape
+def _pad_lattice(lp_blank, lp_label):
+    """Pad (B, T, U) inputs to kernel tile multiples; padded label columns
+    stay log-zero so the row scan can't walk through them."""
+    U = lp_blank.shape[2]
     lpb = _pad_to(_pad_to(lp_blank.astype(jnp.float32), 2, 128), 1, T_CHUNK)
-    # Padded label columns must stay log-zero so the row scan can't walk
-    # through them.
     lpl = _pad_to(_pad_to(lp_label.astype(jnp.float32), 2, 128), 1, T_CHUNK)
     if lpl.shape[2] != U:
         u_pad_mask = jnp.arange(lpl.shape[2]) >= U
         lpl = jnp.where(u_pad_mask[None, None, :], NEG, lpl)
+    return lpb, lpl
+
+
+def _alpha_unpadded(lp_blank, lp_label, t_lens, u_lens):
+    """(losses (B,), alphas (B, T, U)) with all padding internal — the
+    boundary shapes are the caller's, so the op partitions cleanly over B
+    (per-shard local shapes pad independently)."""
+    B, T, U = lp_blank.shape
+    lpb, lpl = _pad_lattice(lp_blank, lp_label)
     pad_b = (-B) % B_TILE
     if pad_b:
         lpb = jnp.pad(lpb, ((0, pad_b), (0, 0), (0, 0)))
@@ -268,31 +269,69 @@ def _forward_impl(lp_blank, lp_label, t_lens, u_lens):
                       constant_values=NEG)
         t_lens = jnp.pad(t_lens, (0, pad_b), constant_values=1)
         u_lens = jnp.pad(u_lens, (0, pad_b), constant_values=0)
-
-    Bp, Tp, Up = lpb.shape
+    Bp, _, Up = lpb.shape
     tl_b = jnp.broadcast_to(t_lens.astype(jnp.int32)[:, None], (Bp, Up))
     ul_b = jnp.broadcast_to(u_lens.astype(jnp.int32)[:, None], (Bp, Up))
     alphas, llmask = _alpha_pallas(lpb, lpl, tl_b, ul_b)
     losses = -jnp.sum(llmask, axis=1)[:B]
-    return losses, (lpb, lpl, alphas, tl_b, ul_b, losses, B)
+    return losses, alphas[:B, :T, :U]
+
+
+def _beta_unpadded(lp_blank, lp_label, alphas, t_lens, u_lens, losses, g):
+    """(glp_blank, glp_label), both (B, T, U); padding internal as above."""
+    B, T, U = lp_blank.shape
+    lpb, lpl = _pad_lattice(lp_blank, lp_label)
+    al = _pad_to(_pad_to(alphas.astype(jnp.float32), 2, 128), 1, T_CHUNK)
+    pad_b = (-B) % B_TILE
+    if pad_b:
+        lpb = jnp.pad(lpb, ((0, pad_b), (0, 0), (0, 0)))
+        lpl = jnp.pad(lpl, ((0, pad_b), (0, 0), (0, 0)),
+                      constant_values=NEG)
+        al = jnp.pad(al, ((0, pad_b), (0, 0), (0, 0)))
+        t_lens = jnp.pad(t_lens, (0, pad_b), constant_values=1)
+        u_lens = jnp.pad(u_lens, (0, pad_b), constant_values=0)
+        losses = jnp.pad(losses, (0, pad_b))
+        g = jnp.pad(g, (0, pad_b))
+    Bp, _, Up = lpb.shape
+    tl_b = jnp.broadcast_to(t_lens.astype(jnp.int32)[:, None], (Bp, Up))
+    ul_b = jnp.broadcast_to(u_lens.astype(jnp.int32)[:, None], (Bp, Up))
+    ll_b = jnp.broadcast_to((-losses)[:, None], (Bp, Up)).astype(jnp.float32)
+    g_b = jnp.broadcast_to(g.astype(jnp.float32)[:, None], (Bp, Up))
+    glpb, glpl = _beta_pallas(lpb, lpl, al, tl_b, ul_b, ll_b, g_b)
+    return glpb[:B, :T, :U], glpl[:B, :T, :U]
+
+
+# GSPMD-partitionable wrappers: the lattice DP is embarrassingly parallel
+# over B, so under a sharded jit each device runs its own batch shard —
+# no mesh threading, no shard_map at the call sites.
+from rnnt_tpu.parallel.partition import batch_partitioned  # noqa: E402
+
+_alpha_cp = batch_partitioned(
+    _alpha_unpadded, "bbbb", "bb",
+    "b t u, b t u, b, b -> b, b t u")
+_beta_cp = batch_partitioned(
+    _beta_unpadded, "bbbbbbb", "bb",
+    "b t u, b t u, b t u, b, b, b, b -> b t u, b t u")
+
+
+@jax.custom_vjp
+def transducer_alpha_loss_fast(lp_blank, lp_label, t_lens, u_lens):
+    """Per-sample negative log-likelihood, shape (B,) — Pallas fast path
+    with the same contract as ``transducer_alpha_loss``."""
+    losses, _ = _alpha_cp(lp_blank, lp_label, t_lens, u_lens)
+    return losses
 
 
 def _fast_fwd(lp_blank, lp_label, t_lens, u_lens):
-    losses, res = _forward_impl(lp_blank, lp_label, t_lens, u_lens)
-    return losses, (res, lp_blank.shape)
+    losses, alphas = _alpha_cp(lp_blank, lp_label, t_lens, u_lens)
+    return losses, (lp_blank, lp_label, alphas, t_lens, u_lens, losses)
 
 
-def _fast_bwd(packed, g):
-    (lpb, lpl, alphas, tl_b, ul_b, losses, B), orig_shape = packed
-    Bp, Tp, Up = lpb.shape
-    ll = -losses  # log-likelihood per sample
-    ll_b = jnp.broadcast_to(
-        jnp.pad(ll, (0, Bp - B))[:, None], (Bp, Up)).astype(jnp.float32)
-    g_b = jnp.broadcast_to(
-        jnp.pad(g.astype(jnp.float32), (0, Bp - B))[:, None], (Bp, Up))
-    glpb, glpl = _beta_pallas(lpb, lpl, alphas, tl_b, ul_b, ll_b, g_b)
-    _, T, U = orig_shape
-    return (glpb[:B, :T, :U], glpl[:B, :T, :U], None, None)
+def _fast_bwd(res, g):
+    lp_blank, lp_label, alphas, t_lens, u_lens, losses = res
+    glpb, glpl = _beta_cp(lp_blank, lp_label, alphas, t_lens, u_lens,
+                          losses, g)
+    return glpb, glpl, None, None
 
 
 transducer_alpha_loss_fast.defvjp(_fast_fwd, _fast_bwd)

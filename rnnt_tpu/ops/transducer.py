@@ -133,26 +133,20 @@ def lattice_nll(lp_blank, lp_label, t_lens, u_lens, mesh=None):
     (rnnt_tpu/ops/lattice_pallas.py — ~15x faster than the scan), the XLA
     scan elsewhere.  Set RNNT_ALPHA_IMPL=scan to force the scan.
 
-    On a multi-device mesh the kernel runs under ``jax.shard_map`` over the
-    data axis — the lattice DP is embarrassingly parallel in B, and without
-    the wrapper GSPMD would replicate the opaque pallas_call on every chip.
+    The kernel op carries its own GSPMD partitioning rule
+    (rnnt_tpu/parallel/partition.py): under a sharded jit each device runs
+    its batch shard — no mesh threading needed.  ``mesh`` is accepted for
+    backward compatibility and ignored.
     """
     import os
 
+    del mesh
     impl = os.environ.get("RNNT_ALPHA_IMPL", "")
     use_pallas = (impl == "pallas"
                   or (jax.default_backend() == "tpu" and impl != "scan"))
     if use_pallas:
         from rnnt_tpu.ops.lattice_pallas import transducer_alpha_loss_fast
 
-        if mesh is not None and mesh.shape.get("data", 1) > 1:
-            from jax.sharding import PartitionSpec as P
-
-            fn = jax.shard_map(
-                transducer_alpha_loss_fast, mesh=mesh,
-                in_specs=(P("data"), P("data"), P("data"), P("data")),
-                out_specs=P("data"), check_vma=False)
-            return fn(lp_blank, lp_label, t_lens, u_lens)
         return transducer_alpha_loss_fast(lp_blank, lp_label, t_lens, u_lens)
     return transducer_alpha_loss(lp_blank, lp_label, t_lens, u_lens)
 

@@ -36,7 +36,9 @@ from rnnt_tpu.ops.transducer import NEG, lattice_nll
 # tiled (8, round_up(U1, 8)) instead of (8, 128) — at the base config's
 # U1 = 65 that skips 44% of the joint matmul work the fixed 128-wide tile
 # would burn on padding.
-T_TILE = 8
+# T tile 16 measured best on v5e (8: +10% step time; 32: backward tile
+# overruns the 20 MB scoped-VMEM ceiling).
+T_TILE = 16
 U_TILE_MAX = 128
 
 
@@ -311,15 +313,44 @@ def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
 
 # --------------------------- custom_vjp wrapper ---------------------------
 
+# GSPMD partitioning (rnnt_tpu/parallel/partition.py): batch-parallel over
+# B; the weight grads dW/db are per-shard partial sums all-reduced over the
+# batch mesh axis inside the partitioned body.  custom_vjp stays OUTSIDE
+# (custom_partitioning has no differentiation rule).
+from rnnt_tpu.parallel.partition import batch_partitioned  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(blank_idx: int, u_tile: int):
+    def fn(enc, pred, w, b, label_onehot):
+        return _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx, u_tile)
+
+    return batch_partitioned(
+        fn, "bbrrb", "bbb",
+        "b t h, b u h, h v, v, b u v -> b t u, b t u, b t u")
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(blank_idx: int, u_tile: int):
+    def fn(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse):
+        return _bwd_pallas(enc, pred, w, b, label_onehot, lse,
+                           g_blank, g_label, g_lse, blank_idx, u_tile)
+
+    return batch_partitioned(
+        fn, "bbrrbbbbb", "bbss",
+        "b t h, b u h, h v, v, b u v, b t u, b t u, b t u, b t u "
+        "-> b t h, b u h, h v, q v")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_joint_outputs(enc, pred, w, b, label_onehot, blank_idx, u_tile):
     """(lse, blank_logit, label_logit) over the padded lattice — all
     (B, T, U1) f32.  T % T_TILE == 0 and U1 % u_tile == 0 required."""
-    return _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx, u_tile)
+    return _fwd_cp(blank_idx, u_tile)(enc, pred, w, b, label_onehot)
 
 
 def _fjo_fwd(enc, pred, w, b, label_onehot, blank_idx, u_tile):
-    outs = _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx, u_tile)
+    outs = _fwd_cp(blank_idx, u_tile)(enc, pred, w, b, label_onehot)
     lse = outs[0]
     return outs, (enc, pred, w, b, label_onehot, lse)
 
@@ -327,9 +358,8 @@ def _fjo_fwd(enc, pred, w, b, label_onehot, blank_idx, u_tile):
 def _fjo_bwd(blank_idx, u_tile, residuals, gs):
     enc, pred, w, b, label_onehot, lse = residuals
     g_lse, g_blank, g_label = gs
-    denc, dpred, dw, db = _bwd_pallas(
-        enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
-        blank_idx, u_tile)
+    denc, dpred, dw, db = _bwd_cp(blank_idx, u_tile)(
+        enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse)
     return (denc.astype(enc.dtype), dpred.astype(pred.dtype),
             dw.astype(w.dtype), db[0].astype(b.dtype), None)
 

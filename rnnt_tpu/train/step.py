@@ -37,7 +37,13 @@ def feature_lens_from_samples(audio_lens: jax.Array,
 
 def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
                  mesh=None, spec_augment: bool = False):
-    """Loss over a raw-audio batch; featurization happens on device."""
+    """Loss over a raw-audio batch; featurization happens on device.
+
+    ``mesh`` is accepted for backward compatibility and ignored: the Pallas
+    loss kernels carry their own GSPMD partitioning rules
+    (rnnt_tpu/parallel/partition.py), so the same jitted step runs on any
+    mesh without wrapper plumbing."""
+    del mesh
     featurize = make_featurizer(fspec)
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
@@ -53,35 +59,17 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
             params, model_state, feats, spec, batch["targets"],
             training=training, rng=rng)
         t_lens = encoder_out_len(feat_lens, spec.encoder)
-        if spec.loss_impl == "pallas":
+        from rnnt_tpu.models.rnnt import resolve_loss_impl
+        if resolve_loss_impl(spec.loss_impl) == "pallas":
             from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
-            if mesh is not None and mesh.shape.get("data", 1) > 1:
-                # The fused joint kernels are opaque to GSPMD (it would
-                # replicate them); run them per-shard over the data axis
-                # and mean-reduce outside (an XLA psum over ICI).
-                from functools import partial as _partial
-
-                from jax.sharding import PartitionSpec as P
-
-                fn = jax.shard_map(
-                    _partial(transducer_loss_pallas, blank=spec.blank_idx,
-                             reduction="none"),
-                    mesh=mesh,
-                    in_specs=(P(), P("data"), P("data"), P("data"),
-                              P("data"), P("data")),
-                    out_specs=P("data"), check_vma=False)
-                losses = fn(params["joint"], audio, text, batch["targets"],
-                            t_lens, batch["target_lens"])
-                loss = jnp.mean(losses)
-            else:
-                loss = transducer_loss_pallas(
-                    params["joint"], audio, text, batch["targets"], t_lens,
-                    batch["target_lens"], spec.blank_idx)
+            loss = transducer_loss_pallas(
+                params["joint"], audio, text, batch["targets"], t_lens,
+                batch["target_lens"], spec.blank_idx)
         else:
             loss = transducer_loss(
                 params["joint"], audio, text, batch["targets"], t_lens,
                 batch["target_lens"], spec.blank_idx,
-                chunk_size=spec.loss_chunk_size, mesh=mesh)
+                chunk_size=spec.loss_chunk_size)
         return loss, new_state
 
     return loss_fn

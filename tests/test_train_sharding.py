@@ -120,8 +120,10 @@ def test_loss_decreases_quickly():
 
 
 def test_dp_pallas_loss_matches_single_device():
-    """loss_impl=pallas on a data mesh runs the fused kernels per-shard
-    under shard_map; loss must match the single-device run."""
+    """loss_impl=pallas on a data mesh: the fused kernels carry their own
+    GSPMD partitioning rules (parallel/partition.py), so the plain jitted
+    step — no mesh argument, no shard_map — must match the single-device
+    run, including the psum'd dW/db weight grads."""
     import dataclasses
 
     from rnnt_tpu.config.config import build_model_spec, build_featurizer_spec
@@ -141,8 +143,11 @@ def test_dp_pallas_loss_matches_single_device():
         state = TrainState(params, opt_state, model_state,
                            jnp.zeros((), jnp.int32))
         step = jax.jit(make_train_step(spec, fspec, tx,
-                                       cfg.training.precision, mesh=mesh))
+                                       cfg.training.precision))
         batch = _shard(_batch(fspec, B=8), mesh)
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        # Take a second step so divergence in the psum'd weight grads
+        # (dW/db are cross-shard partial sums) would surface in the loss.
         state, metrics = step(state, batch, jax.random.PRNGKey(7))
         return float(metrics["loss"])
 
