@@ -112,6 +112,9 @@ class TrainingConfig:
     num_epochs: int = 1
     total_steps: int = 0           # overrides epochs when > 0
     log_steps: int = 50
+    # Per-parameter weight histograms every N steps (reference logs
+    # gradient/weight histograms every 2000, rnnt/train.py:147-161).
+    hist_steps: int = 2000
     eval_steps: int = 20000
     eval_max_elements: int = 1000
     checkpoint_steps: int = 100000

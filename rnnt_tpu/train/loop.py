@@ -97,6 +97,20 @@ class MetricsLogger:
             self.jsonl.write(json.dumps({"step": step, **scalars}) + "\n")
             self.jsonl.flush()
 
+    def log_histograms(self, step: int, tree, prefix: str = "weights"):
+        """Per-parameter histograms (reference rnnt/train.py:147-153)."""
+        if not self.enabled or self.writer is None:
+            return
+        import numpy as np
+
+        def visit(path, leaf):
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in path)
+            self.writer.add_histogram(f"{prefix}/{name}",
+                                      np.asarray(leaf).ravel(), step)
+
+        jax.tree_util.tree_map_with_path(visit, tree)
+
     def close(self):
         if self.writer is not None:
             self.writer.close()
@@ -220,11 +234,16 @@ def train(cfg: Config, *, output_base: str = "experiments",
                 f"non-finite loss {last_loss} at step {pending[-1][0]}; "
                 f"emergency checkpoint saved to {output_dir}")
         for s, m in pending:
-            logger.log(s, {"loss/train": float(m["loss"]),
-                           "total_norm/train": float(m["grad_norm"]),
-                           "learning_rate": float(sched(s - 1)),
-                           "input_length/train": int(m["total_target_len"]),
-                           "epoch": epoch})
+            scalars = {"loss/train": float(m["loss"]),
+                       "total_norm/train": float(m["grad_norm"]),
+                       "learning_rate": float(sched(s - 1)),
+                       "input_length/train": int(m["total_target_len"]),
+                       "epoch": epoch}
+            # Per-submodel grad norms (reference rnnt/train.py:155-161).
+            scalars.update({f"total_norm/{k.split('/', 1)[1]}": float(v)
+                            for k, v in m.items()
+                            if k.startswith("grad_norm/")})
+            logger.log(s, scalars)
         sps = len(pending) / dt if dt > 0 else 0.0
         asps = audio_secs_since_log / dt if dt > 0 else 0.0
         if is_main:
@@ -285,6 +304,8 @@ def train(cfg: Config, *, output_base: str = "experiments",
             if completed % tc.eval_steps == 0 or completed == total_steps:
                 flush_metrics(epoch)
                 run_eval()
+            if completed % tc.hist_steps == 0 and is_main:
+                logger.log_histograms(completed, state.params)
             if completed % tc.checkpoint_steps == 0 and is_main:
                 # Async: snapshots to host, persists in the background.
                 ckpt.save_checkpoint(output_dir, state, cfg)

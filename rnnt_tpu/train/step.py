@@ -99,6 +99,9 @@ def make_train_step(spec: RNNTSpec, fspec: FeaturizerSpec, tx,
             "grad_norm": grad_norm,
             "total_target_len": jnp.sum(batch["target_lens"]),
         }
+        # Per-submodel gradient norms (reference rnnt/train.py:155-161).
+        for k, v in grads.items():
+            metrics[f"grad_norm/{k}"] = optax.global_norm(v)
         new_state = TrainState(new_params, new_opt_state, new_model_state,
                                state.step + 1)
         return new_state, metrics
