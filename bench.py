@@ -71,7 +71,10 @@ def main() -> None:
 
     cfg, spec, fspec = _flagship()
 
-    batch_size = 8
+    # B=32 measured best throughput-per-latency on v5e-1 (B=8: 2156,
+    # B=16: 2510, B=32: 2738, B=64: 2858 audio-s/s); 32 keeps step latency
+    # ~58 ms while capturing nearly all of the utilization gain.
+    batch_size = 32
     seconds = 5.0
     max_tokens = 64
 

@@ -137,7 +137,8 @@ class BatchIterator:
     def __init__(self, dataset, tokenizer: UnigramTokenizer, buckets: Buckets,
                  batch_size: int, *, augmentor=None, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
-                 max_batches: int | None = None, num_workers: int = 0):
+                 max_batches: int | None = None, num_workers: int = 0,
+                 shard_id: int = 0, num_shards: int = 1):
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.buckets = buckets
@@ -148,6 +149,11 @@ class BatchIterator:
         self.drop_last = drop_last
         self.max_batches = max_batches
         self.num_workers = num_workers
+        # Per-host data sharding (the reference's DistributedSampler,
+        # rnnt/train.py:89): every host shuffles with the same seed, then
+        # takes a disjoint stride of the epoch order.
+        self.shard_id = shard_id
+        self.num_shards = num_shards
 
     def _process(self, idx: int):
         """Load + augment + tokenize one utterance (thread-safe: fresh
@@ -167,6 +173,8 @@ class BatchIterator:
         rng = np.random.RandomState(self.seed)
         if self.shuffle:
             rng.shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id::self.num_shards]
         if self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=self.num_workers)

@@ -63,12 +63,22 @@ def _load_datasets(cfg: Config):
 
 
 def _shard_batch(batch: dict, mesh) -> dict:
+    """Place a host batch on the mesh, batch axis on "data".
+
+    Single-host: a plain sharded device_put of the global batch.
+    Multi-host: each process feeds its own disjoint shard (BatchIterator
+    shard_id/num_shards — the reference's DistributedSampler,
+    rnnt/train.py:89) and the global array is assembled from the
+    process-local shards without any cross-host copy."""
     shardings = {
         "audio": NamedSharding(mesh, P("data", None)),
         "audio_lens": NamedSharding(mesh, P("data")),
         "targets": NamedSharding(mesh, P("data", None)),
         "target_lens": NamedSharding(mesh, P("data")),
     }
+    if jax.process_count() > 1:
+        return {k: jax.make_array_from_process_local_data(shardings[k], v)
+                for k, v in batch.items()}
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
 
 
@@ -256,6 +266,9 @@ def train(cfg: Config, *, output_base: str = "experiments",
         t_log = time.time()
 
     def run_eval():
+        # Every host evaluates the same (unsharded) eval stream, so the WER
+        # is identical everywhere and only process 0 logs it — the
+        # rank-0-eval convention without cross-host result exchange.
         nonlocal last_wer
         eval_iter = BatchIterator(
             eval_ds, tokenizer, buckets, batch_size=tc.global_batch_size,
@@ -288,10 +301,15 @@ def train(cfg: Config, *, output_base: str = "experiments",
     for epoch in range(max(tc.num_epochs, 1)):
         if done:
             break
+        n_proc = jax.process_count()
+        if tc.global_batch_size % n_proc:
+            raise ValueError(f"global batch {tc.global_batch_size} must "
+                             f"divide across {n_proc} processes")
         it = BatchIterator(train_ds, tokenizer, buckets,
-                           batch_size=tc.global_batch_size,
+                           batch_size=tc.global_batch_size // n_proc,
                            augmentor=augmentor, shuffle=True, seed=epoch,
-                           num_workers=cfg.data.num_workers)
+                           num_workers=cfg.data.num_workers,
+                           shard_id=jax.process_index(), num_shards=n_proc)
         from rnnt_tpu.data.pipeline import PrefetchIterator
         for batch in PrefetchIterator(it, depth=4):
             sb = _shard_batch(batch, mesh)

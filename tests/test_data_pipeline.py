@@ -50,3 +50,33 @@ def test_iterator_deterministic_with_seed():
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x["audio"], y["audio"])
         np.testing.assert_array_equal(x["targets"], y["targets"])
+
+
+def test_batch_iterator_host_sharding():
+    """shard_id/num_shards must partition the epoch into disjoint,
+    collectively-exhaustive streams (the DistributedSampler contract,
+    reference rnnt/train.py:89)."""
+    from rnnt_tpu.config.config import Config
+    from rnnt_tpu.data.dataset import BatchIterator, Buckets, synthetic_dataset
+    from rnnt_tpu.data.tokenizer import UnigramTokenizer
+    from rnnt_tpu.ops.stft import FeaturizerSpec
+
+    cfg = Config()
+    ds = synthetic_dataset(size=24, seconds=1.0, seed=0)
+    tok = UnigramTokenizer.from_file("/root/reference/spm_unigram_1023.model")
+    buckets = Buckets.from_frames([128], [32], FeaturizerSpec())
+
+    def ids_seen(shard_id, num_shards):
+        it = BatchIterator(ds, tok, buckets, batch_size=2, shuffle=True,
+                           seed=3, drop_last=False, shard_id=shard_id,
+                           num_shards=num_shards)
+        seen = []
+        for b in it:
+            # audio_lens identify the utterance (synthetic lengths vary)
+            seen.extend(b["audio_lens"].tolist())
+        return seen
+
+    all_lens = ids_seen(0, 1)
+    shards = [ids_seen(i, 4) for i in range(4)]
+    assert sum(len(s) for s in shards) == len(all_lens)
+    assert sorted(x for s in shards for x in s) == sorted(all_lens)
