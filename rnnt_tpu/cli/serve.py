@@ -12,6 +12,8 @@ device instead of serializing one jit program per client.  Clients stream
     POST /session                         -> {"session": id}
     POST /feed/<id>   (body: int16 PCM)   -> {"new_tokens": [...], "text": str}
     GET  /text/<id>                       -> {"text": str}
+    GET  /stats                           -> device-step latency p50/p99,
+                                             batching occupancy, token count
     DELETE /session/<id>                  -> {"text": str}   (flushes tail)
 
 Each feed returns incrementally emitted tokens; all stream state (conv
@@ -104,6 +106,10 @@ def main(argv=None) -> None:
             self._json(404, {"error": "unknown endpoint"})
 
         def do_GET(self):
+            if self.path == "/stats":
+                with lock:
+                    self._json(200, pool.stats())
+                return
             if self.path.startswith("/text/"):
                 sid = self.path.split("/text/", 1)[1]
                 slot = sessions.get(sid)

@@ -38,6 +38,9 @@ def main(argv=None) -> None:
     ap.add_argument("--output-base", default="experiments")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu, tpu)")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of steps 3-6 into "
+                         "<run_dir>/trace (view in TensorBoard/Perfetto)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -55,7 +58,7 @@ def main(argv=None) -> None:
 
     cfg = load_config(resolve_config(args.config))
     final_wer = train(cfg, output_base=args.output_base, resume=args.resume,
-                      max_steps=args.max_steps)
+                      max_steps=args.max_steps, profile=args.profile)
     print(f"final wer: {final_wer}")
 
 

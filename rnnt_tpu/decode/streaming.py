@@ -184,6 +184,11 @@ class StreamingSessionPool:
         self._free = list(range(slots))
         self._buffers: dict[int, np.ndarray] = {}
         self._tokens: dict[int, list[int]] = {}
+        # Serving observability: last-1000 device-step latencies + counters.
+        from collections import deque
+        self._pump_ms: deque[float] = deque(maxlen=1000)
+        self._pump_lanes: deque[int] = deque(maxlen=1000)
+        self._total_tokens = 0
 
         @jax.jit
         def _encode_chunk(params, model_state, feats, conv_states):
@@ -239,12 +244,15 @@ class StreamingSessionPool:
     def pump(self) -> dict[int, list[int]]:
         """Step every stream with a full chunk buffered; returns the newly
         emitted token ids per stepped slot."""
+        import time as _time
+
         out: dict[int, list[int]] = {}
         while True:
             ready = [s for s, b in self._buffers.items()
                      if b.shape[0] >= self._need]
             if not ready:
                 return out
+            t0 = _time.perf_counter()
             ready = ready[: self.slots]
             n = 1
             while n < len(ready):
@@ -275,7 +283,29 @@ class StreamingSessionPool:
                 for i, s in enumerate(ready):
                     new = [int(t) for t in tokens[i, : counts[i]]]
                     self._tokens[s].extend(new)
+                    self._total_tokens += len(new)
                     out.setdefault(s, []).extend(new)
+            self._pump_ms.append((_time.perf_counter() - t0) * 1e3)
+            self._pump_lanes.append(len(ready))
 
     def tokens(self, slot: int) -> list[int]:
         return self._tokens[slot]
+
+    def stats(self) -> dict:
+        """Serving metrics: device-step latency percentiles, batching
+        occupancy, token counters (the reference surfaces only a live
+        predictions/sec counter, rnnt-js/index.js:222)."""
+        lat = sorted(self._pump_ms)
+        pct = (lambda p: lat[min(int(p * len(lat)), len(lat) - 1)]) \
+            if lat else (lambda p: 0.0)
+        return {
+            "active_slots": self.slots - len(self._free),
+            "slots": self.slots,
+            "device_steps": len(lat),
+            "step_ms_p50": round(pct(0.50), 2),
+            "step_ms_p99": round(pct(0.99), 2),
+            "mean_batched_lanes": round(
+                float(np.mean(self._pump_lanes)) if self._pump_lanes else 0.0,
+                2),
+            "tokens_emitted": self._total_tokens,
+        }

@@ -130,7 +130,7 @@ class MetricsLogger:
 
 def train(cfg: Config, *, output_base: str = "experiments",
           resume: str | None = None, max_steps: int | None = None,
-          make_augmentor=None) -> float:
+          make_augmentor=None, profile: bool = False) -> float:
     """Train per config; returns the last eval WER (reference convention,
     rnnt/train.py:218)."""
     tc = cfg.training
@@ -224,6 +224,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
     rng = jax.random.PRNGKey(42)
     last_wer = float("nan")
     completed = int(state.step)
+    start_step = completed
     t_log = time.time()
     audio_secs_since_log = 0.0
     pending = []  # (step, metrics dict of device scalars)
@@ -313,8 +314,17 @@ def train(cfg: Config, *, output_base: str = "experiments",
         from rnnt_tpu.data.pipeline import PrefetchIterator
         for batch in PrefetchIterator(it, depth=4):
             sb = _shard_batch(batch, mesh)
+            # Profile steps 3-6 of this run (past compile + warmup).
+            if profile and completed - start_step == 2:
+                jax.block_until_ready(state.step)
+                jax.profiler.start_trace(str(output_dir / "trace"))
             state, metrics = step_fn(state, sb, rng)
             completed += 1
+            if profile and completed - start_step == 6:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                if is_main:
+                    print(f"profiler trace written to {output_dir / 'trace'}")
             audio_secs_since_log += float(batch["audio_lens"].sum()) / fspec.sample_rate
             pending.append((completed, metrics))
             if completed % tc.log_steps == 0:

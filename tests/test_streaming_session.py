@@ -123,6 +123,12 @@ def test_session_pool_matches_single_sessions():
         assert pool.tokens(slots[j]) == expected[j], (
             f"stream {j}: pool {pool.tokens(slots[j])} != {expected[j]}")
 
+    st = pool.stats()
+    assert st["device_steps"] > 0
+    assert st["active_slots"] == 3 and st["slots"] == 4
+    assert st["mean_batched_lanes"] >= 1.0
+    assert st["tokens_emitted"] == sum(len(e) for e in expected)
+
     # Slot reuse must start clean: exhaust free slots so close/open recycles
     # stream 0's lane, replay stream 1's audio and get stream 1's tokens.
     extra = pool.open()
