@@ -60,6 +60,49 @@ def bench_decode() -> None:
     }))
 
 
+def bench_loss() -> None:
+    """Loss-kernel microbenchmark: fused Pallas vs XLA chunked fwd+bwd and
+    the fused kernel's FLOP utilization (BASELINE.json north-star)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnnt_tpu.ops.transducer import transducer_loss
+    from rnnt_tpu.ops.transducer_pallas import (
+        T_TILE, _pick_u, transducer_loss_pallas)
+    from rnnt_tpu.train.profiling import time_fn
+
+    B, T, U, H, V = 8, 250, 64, 1024, 1024
+    key = jax.random.PRNGKey(0)
+    audio = jax.random.normal(key, (B, T, H), jnp.bfloat16)
+    text = jax.random.normal(key, (B, U + 1, H), jnp.bfloat16)
+    targets = jax.random.randint(key, (B, U), 0, V - 1)
+    t_lens = jnp.full((B,), T, jnp.int32)
+    u_lens = jnp.full((B,), U, jnp.int32)
+    jp = {"out": {"w": jax.random.normal(key, (H, V), jnp.float32) * 0.02,
+                  "b": jnp.zeros((V,), jnp.float32)}}
+
+    fused = jax.jit(jax.value_and_grad(lambda p: transducer_loss_pallas(
+        p, audio, text, targets, t_lens, u_lens, V - 1)))
+    chunked = jax.jit(jax.value_and_grad(lambda p: transducer_loss(
+        p, audio, text, targets, t_lens, u_lens, V - 1, chunk_size=32)))
+    t_fused = time_fn(fused, jp, iters=20)
+    t_chunked = time_fn(chunked, jp, iters=20)
+
+    _, u_pad = _pick_u(U + 1)
+    t_pad = -(-T // T_TILE) * T_TILE
+    flops = 4 * 2 * B * t_pad * u_pad * H * V  # fwd + recompute + dh + dw
+    peak = 197e12  # v5e bf16
+    print(json.dumps({
+        "metric": "fused joint+loss fwd+bwd (B=8, T=250, U1=65, H=V=1024)",
+        "value": round(t_fused * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "chunked_ms": round(t_chunked * 1e3, 2),
+        "fused_tflops": round(flops / t_fused / 1e12, 1),
+        "fused_pct_of_bf16_peak": round(100 * flops / t_fused / peak, 1),
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -118,5 +161,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--decode" in sys.argv:
         bench_decode()
+    elif "--loss" in sys.argv:
+        bench_loss()
     else:
         main()
