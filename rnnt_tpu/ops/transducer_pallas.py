@@ -205,20 +205,27 @@ def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
 
         # dh addend in two H-halves under fori_loop: one (T,U,H/2) f32
         # buffer lives at a time instead of a full (T,U,H) one — the last
-        # ~1MB that pushed the merged kernel over the VMEM budget.
+        # ~1MB that pushed the merged kernel over the VMEM budget.  Lane-dim
+        # slices must start at 128-multiples on real Mosaic, so small-H
+        # kernels (tests, tiny configs) take the unsplit path.
         H = w_ref.shape[0]
         half = H // 2
+        if half % 128 == 0:
+            def dh_half(hc, carry):
+                w_h = w_ref[pl.ds(hc * half, half), :]  # (H/2, chunk)
+                add = jax.lax.dot_general(
+                    dl_c.astype(w_ref.dtype), w_h,
+                    dimension_numbers=(((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dh_scr[:, :, pl.ds(hc * half, half)] += add
+                return carry
 
-        def dh_half(hc, carry):
-            w_h = w_ref[pl.ds(hc * half, half), :]  # (H/2, chunk)
-            add = jax.lax.dot_general(
-                dl_c.astype(w_ref.dtype), w_h,
+            jax.lax.fori_loop(0, 2, dh_half, 0)
+        else:
+            dh_scr[:] += jax.lax.dot_general(
+                dl_c.astype(w_ref.dtype), w_ref[:],
                 dimension_numbers=(((2,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dh_scr[:, :, pl.ds(hc * half, half)] += add
-            return carry
-
-        jax.lax.fori_loop(0, 2, dh_half, 0)
 
         h_rows = h3.reshape(t_tile * u_tile, -1)
         dl_rows = dl_c.reshape(t_tile * u_tile, chunk)

@@ -67,3 +67,30 @@ def test_pallas_nonaligned_shapes():
     out = transducer_loss_pallas(params, audio, text, targets, t_lens,
                                  u_lens, spec.blank_idx)
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_multi_u_tile_grads():
+    """U1 > 128 forces the 128-wide multi-tile lattice grid (j > 0 paths:
+    dpred slab accumulation, per-tile onehot blocks) — values and grads
+    must still match the XLA path."""
+    spec, params, audio, text, targets, t_lens, u_lens = _case(
+        B=2, T=12, U=140, H=128, V=128, seed=5)
+
+    def f_ref(p, a, x):
+        return transducer_loss(p, a, x, targets, t_lens, u_lens,
+                               spec.blank_idx, chunk_size=8)
+
+    def f_pal(p, a, x):
+        return transducer_loss_pallas(p, a, x, targets, t_lens, u_lens,
+                                      spec.blank_idx)
+
+    ref = f_ref(params, audio, text)
+    out = f_pal(params, audio, text)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-4, atol=1e-4)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(params, audio, text)
+    g_pal = jax.grad(f_pal, argnums=(0, 1, 2))(params, audio, text)
+    fr, _ = jax.flatten_util.ravel_pytree(g_ref)
+    fp, _ = jax.flatten_util.ravel_pytree(g_pal)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fr),
+                               rtol=2e-3, atol=1e-5)
