@@ -1,0 +1,92 @@
+"""Streaming-server smoke test: boot cli/serve on a tiny checkpoint and
+drive the full HTTP surface (session -> feed -> text -> stats -> delete)
+through the pooled batched runtime."""
+
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rnnt_tpu.config.config import Config, BlockConfig, save_config, \
+    build_model_spec
+from rnnt_tpu.models.rnnt import rnnt_init
+from rnnt_tpu.train import checkpoint as ckpt
+
+PORT = 8937
+
+
+def _tiny_cfg():
+    cfg = Config()
+    cfg.model_name = "serve_test"
+    cfg.tokenizer.spm_model = "/root/reference/spm_unigram_1023.model"
+    cfg.encoder.blocks = [BlockConfig(5, 24, 24, 0.0, 1)]
+    cfg.encoder.epilogue_features = 24
+    cfg.encoder.output_features = 24
+    cfg.predictor.output_dim = 24
+    cfg.predictor.symbol_embedding_dim = 16
+    cfg.predictor.dropout = 0.0
+    cfg.joint.hidden_features = 24
+    return cfg
+
+
+def _req(method, path, data=None, timeout=120):
+    r = urllib.request.Request(f"http://127.0.0.1:{PORT}{path}", data=data,
+                               method=method)
+    return json.loads(urllib.request.urlopen(r, timeout=timeout).read())
+
+
+def test_serve_http_surface(tmp_path):
+    cfg = _tiny_cfg()
+    spec = build_model_spec(cfg)
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+
+    class State:
+        pass
+
+    s = State()
+    s.params, s.model_state = params, model_state
+    s.opt_state = {}
+    s.step = 1
+    ckpt.save_checkpoint(tmp_path, s, cfg, wait=True)
+
+    from rnnt_tpu.cli import serve
+    t = threading.Thread(
+        target=serve.main,
+        args=([str(tmp_path / "checkpoint_step_1"), "--port", str(PORT),
+               "--slots", "2", "--platform", "cpu"],),
+        daemon=True)
+    t.start()
+    for _ in range(60):
+        try:
+            _req("GET", "/stats", timeout=5)
+            break
+        except Exception:
+            time.sleep(1.0)
+    else:
+        raise AssertionError("server did not come up")
+
+    sid = _req("POST", "/session")["session"]
+    pcm = (np.random.RandomState(0).randn(16000) * 3000).astype(np.int16)
+    fed = _req("POST", f"/feed/{sid}", pcm.tobytes())
+    assert "new_tokens" in fed and "text" in fed
+    got = _req("GET", f"/text/{sid}")
+    assert got["text"] == fed["text"]
+    st = _req("GET", "/stats")
+    assert st["active_slots"] == 1 and st["device_steps"] >= 1
+    # Capacity: fill both slots, third session must 503.
+    sid2 = _req("POST", "/session")["session"]
+    try:
+        _req("POST", "/session")
+        raise AssertionError("expected 503 when slots exhausted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 503
+    final = _req("DELETE", f"/session/{sid}")
+    assert "text" in final
+    _req("DELETE", f"/session/{sid2}")
+    st = _req("GET", "/stats")
+    assert st["active_slots"] == 0
