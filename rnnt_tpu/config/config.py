@@ -143,6 +143,7 @@ class DataConfig:
     train_splits: list[str] = field(default_factory=lambda: ["train.clean.100"])
     eval_split: str = "validation.clean"
     num_workers: int = 2
+    worker_mode: str = "thread"  # thread | process (forked row workers)
     augment: bool = True
     # Synthetic-data knobs (used when no real dataset is available).
     synthetic_size: int = 256

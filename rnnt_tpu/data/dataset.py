@@ -125,6 +125,39 @@ class Buckets:
         return s, t
 
 
+# Fork-inheritance stash for process workers: set in the parent immediately
+# before the pool forks, read by `_process_row_forked` in the children.  No
+# pickling happens (the tokenizer's ctypes handle and any mmap'd dataset
+# cross the fork as inherited memory) — the same trick torch's DataLoader
+# relies on with its default fork start method.
+_FORK_STASH: "BatchIterator | None" = None
+
+
+def _process_row_forked(idx: int):
+    return _FORK_STASH._process(idx)
+
+
+def _ordered_windowed_map(submit, fn, items, window: int):
+    """Parallel ``map`` that keeps at most ``window`` tasks in flight and
+    yields results in input order.  Executor.map / Pool.imap submit the
+    whole epoch eagerly, so a fast pool racing ahead of the device would
+    buffer unbounded augmented audio; this caps host memory at
+    O(window · utterance)."""
+    from collections import deque
+
+    futs: deque = deque()
+    try:
+        for x in items:
+            futs.append(submit(fn, x))
+            if len(futs) >= window:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
+    finally:
+        for f in futs:
+            f.cancel()
+
+
 class BatchIterator:
     """Tokenize, augment, bucket-pad, and batch a dataset.
 
@@ -132,12 +165,22 @@ class BatchIterator:
     "targets": (B, U) i32, "target_lens": (B,) i32} where (S, U) come from
     a fixed bucket grid.  Utterances are grouped per bucket so every batch
     is shape-uniform (bounded XLA compilation count).
+
+    ``num_workers`` maps the per-row augment+tokenize over a pool
+    (reference: DataLoader num_workers=4, rnnt/train.py:86-93).
+    ``worker_mode="thread"`` (default) uses a thread pool — numpy/scipy
+    release the GIL; ``"process"`` forks real workers for hosts where the
+    Python-level share of row processing (tokenizer, resampling glue)
+    serializes on the GIL.  Both modes are row-deterministic: the per-row
+    RNG is seeded from (seed, idx), so serial/thread/process runs produce
+    identical batches.
     """
 
     def __init__(self, dataset, tokenizer: UnigramTokenizer, buckets: Buckets,
                  batch_size: int, *, augmentor=None, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True,
                  max_batches: int | None = None, num_workers: int = 0,
+                 worker_mode: str = "thread",
                  shard_id: int = 0, num_shards: int = 1):
         self.dataset = dataset
         self.tokenizer = tokenizer
@@ -149,6 +192,10 @@ class BatchIterator:
         self.drop_last = drop_last
         self.max_batches = max_batches
         self.num_workers = num_workers
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be thread|process, "
+                             f"got {worker_mode!r}")
+        self.worker_mode = worker_mode
         # Per-host data sharding (the reference's DistributedSampler,
         # rnnt/train.py:89): every host shuffles with the same seed, then
         # takes a disjoint stride of the epoch order.
@@ -175,10 +222,22 @@ class BatchIterator:
             rng.shuffle(order)
         if self.num_shards > 1:
             order = order[self.shard_id::self.num_shards]
-        if self.num_workers > 0:
+        window = max(4 * self.num_workers, 16)
+        if self.num_workers > 0 and self.worker_mode == "process":
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+            global _FORK_STASH
+            _FORK_STASH = self
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"))
+            rows = _ordered_windowed_map(pool.submit, _process_row_forked,
+                                         order, window)
+        elif self.num_workers > 0:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=self.num_workers)
-            rows = pool.map(self._process, order, chunksize=4)
+            rows = _ordered_windowed_map(pool.submit, self._process,
+                                         order, window)
         else:
             pool = None
             rows = map(self._process, order)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from rnnt_tpu.models.joint import joint_single
+from rnnt_tpu.models.joint import joint_window
 from rnnt_tpu.models.predictor import (
     ConvPredictorSpec,
     LSTMPredictorSpec,
@@ -144,7 +144,8 @@ def decode_init_carry(params, predictor_spec, joint_spec, batch: int):
 
 def greedy_decode(params, audio: jax.Array, t_lens: jax.Array,
                   predictor_spec, joint_spec, *, max_tokens: int = 200,
-                  max_symbols_per_step: int = 10, carry=None):
+                  max_symbols_per_step: int = 10, carry=None,
+                  frames_per_step: int = 8):
     """Batched greedy decode over encoder output.
 
     params: {"predictor": ..., "joint": ...}; audio: (B, T, H) encoder
@@ -159,17 +160,29 @@ def greedy_decode(params, audio: jax.Array, t_lens: jax.Array,
     tokens, counts, _ = greedy_decode_incremental(
         params, audio, t_lens, predictor_spec, joint_spec,
         max_tokens=max_tokens, max_symbols_per_step=max_symbols_per_step,
-        carry=carry)
+        carry=carry, frames_per_step=frames_per_step)
     return tokens, counts
 
 
 def greedy_decode_incremental(params, audio: jax.Array, t_lens: jax.Array,
                               predictor_spec, joint_spec, *,
                               max_tokens: int = 200,
-                              max_symbols_per_step: int = 10, carry=None):
+                              max_symbols_per_step: int = 10, carry=None,
+                              frames_per_step: int = 8):
     """Like ``greedy_decode`` but also returns the cross-chunk carry so a
-    streaming session can continue where this chunk left off."""
+    streaming session can continue where this chunk left off.
+
+    ``frames_per_step`` (W) is the blank-skip window: each while-loop
+    iteration scores W consecutive frames against the current predictor
+    feature in ONE batched joint matmul (``joint_window``) and either
+    emits at the first non-blank frame or skips the whole window.  The
+    result is bit-identical to W=1 (the reference's frame-at-a-time loop,
+    rnnt/model.py:108-125) because a greedy emission only depends on the
+    predictor state, which is unchanged across a run of blanks — but the
+    loop runs ~W× fewer iterations on blank-dominated audio and feeds the
+    MXU W× larger matmuls."""
     B, T, _ = audio.shape
+    W = max(1, min(frames_per_step, T))
     blank = joint_spec.blank_idx
     feat0, pstate0, pred_step = _make_predictor_stepper(
         params["predictor"], predictor_spec, blank, B)
@@ -195,17 +208,32 @@ def greedy_decode_incremental(params, audio: jax.Array, t_lens: jax.Array,
 
     def body(s: _Loop) -> _Loop:
         act = active(s)
-        frame = jnp.take_along_axis(
-            audio, jnp.clip(s.t, 0, T - 1)[:, None, None], axis=1)[:, 0, :]
-        logits = joint_single(params["joint"], frame, s.pred_feat)
-        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # Window of W frames starting at each lane's time pointer.
+        pos = s.t[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]   # (B, W)
+        frames = jnp.take_along_axis(
+            audio, jnp.clip(pos, 0, T - 1)[:, :, None], axis=1)        # (B, W, H)
+        logits = joint_window(params["joint"], frames, s.pred_feat)    # (B, W, V)
+        tok_w = jnp.argmax(logits, axis=-1).astype(jnp.int32)          # (B, W)
 
-        is_blank = (tok == blank) | (s.emits >= max_symbols_per_step)
-        advance = is_blank | ~act
-        emit = act & ~is_blank
+        # Out-of-range frames act as blank (they only advance time); the
+        # per-frame emission cap forces the *current* frame blank once hit —
+        # later window frames reset the counter by skipping, so only w=0
+        # can be at the cap.
+        is_blank_w = (tok_w == blank) | (pos >= t_lens[:, None])
+        at_cap = s.emits >= max_symbols_per_step
+        is_blank_w = is_blank_w.at[:, 0].set(is_blank_w[:, 0] | at_cap)
 
-        new_t = jnp.where(advance, s.t + 1, s.t)
-        new_emits = jnp.where(advance, 0, s.emits + 1)
+        nonblank = ~is_blank_w
+        all_blank = ~jnp.any(nonblank, axis=1)                         # (B,)
+        p = jnp.argmax(nonblank, axis=1).astype(jnp.int32)             # (B,)
+        tok = jnp.take_along_axis(tok_w, p[:, None], axis=1)[:, 0]
+
+        emit = act & ~all_blank
+        # Emitting lanes park at the emitting frame (t+p); blank-only
+        # windows (and frozen lanes, harmlessly) jump the whole window.
+        new_t = jnp.where(emit, s.t + p, s.t + W)
+        # p frames of blank reset the cap counter before the emission.
+        new_emits = jnp.where(emit, jnp.where(p == 0, s.emits + 1, 1), 0)
         tokens = s.tokens.at[jnp.arange(B), jnp.clip(s.n, 0, max_tokens - 1)].set(
             jnp.where(emit, tok, s.tokens[jnp.arange(B),
                                           jnp.clip(s.n, 0, max_tokens - 1)]))

@@ -83,3 +83,15 @@ def joint_single(params, audio_frame: jax.Array, text_frame: jax.Array) -> jax.A
     audio_frame, text_frame = project_sides(params, audio_frame, text_frame)
     h = jnp.tanh(audio_frame + text_frame)
     return _proj(params["out"], h)
+
+
+def joint_window(params, audio_frames: jax.Array, text_frame: jax.Array) -> jax.Array:
+    """Joint of W audio frames against one text feature per lane:
+    (B, W, H) + (B, H) -> (B, W, V).
+
+    Used by the blank-skip greedy decode: one MXU matmul scores a whole
+    window of frames against the current predictor state, instead of W
+    sequential ``joint_single`` calls (one per while-loop iteration)."""
+    audio_frames, text_frame = project_sides(params, audio_frames, text_frame)
+    h = jnp.tanh(audio_frames + text_frame[:, None, :])
+    return _proj(params["out"], h)

@@ -310,6 +310,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
                            batch_size=tc.global_batch_size // n_proc,
                            augmentor=augmentor, shuffle=True, seed=epoch,
                            num_workers=cfg.data.num_workers,
+                           worker_mode=cfg.data.worker_mode,
                            shard_id=jax.process_index(), num_shards=n_proc)
         from rnnt_tpu.data.pipeline import PrefetchIterator
         for batch in PrefetchIterator(it, depth=4):

@@ -52,6 +52,32 @@ def test_iterator_deterministic_with_seed():
         np.testing.assert_array_equal(x["targets"], y["targets"])
 
 
+def test_worker_modes_identical_batches():
+    """Serial, thread-pool, and forked process-pool row processing must
+    yield byte-identical batches (per-row RNG is keyed on (seed, idx)),
+    including with augmentation in the loop."""
+    from rnnt_tpu.data.augment import default_augmentor
+
+    tok = UnigramTokenizer.from_file(SPM)
+    spec = FeaturizerSpec()
+    buckets = Buckets.from_frames([512], [64], spec)
+    ds = synthetic_dataset(16, 2.0, seed=0)
+    aug = default_augmentor()
+
+    def run(**kw):
+        return list(BatchIterator(ds, tok, buckets, batch_size=4, seed=5,
+                                  augmentor=aug, **kw))
+
+    serial = run(num_workers=0)
+    threaded = run(num_workers=2, worker_mode="thread")
+    forked = run(num_workers=2, worker_mode="process")
+    assert len(serial) == len(threaded) == len(forked) > 0
+    for s, t, f in zip(serial, threaded, forked):
+        for k in s:
+            np.testing.assert_array_equal(s[k], t[k])
+            np.testing.assert_array_equal(s[k], f[k])
+
+
 def test_batch_iterator_host_sharding():
     """shard_id/num_shards must partition the epoch into disjoint,
     collectively-exhaustive streams (the DistributedSampler contract,

@@ -116,6 +116,29 @@ def test_greedy_lstm_matches_python_reference():
         assert got == ref, f"lane {b}: {got} != {ref}"
 
 
+def test_blank_skip_window_sizes_agree():
+    """The blank-skip window (frames_per_step=W) must be a pure speed knob:
+    identical tokens AND counts for W=1 (the reference's frame-at-a-time
+    semantics), a non-divisor W=3 (window straddles t_len boundaries), and
+    the default W=8 (window wider than some utterances)."""
+    params, pspec, jspec = _setup("conv")
+    B, T, H = 4, 13, 16
+    audio = jax.random.normal(jax.random.PRNGKey(5), (B, T, H))
+    t_lens = jnp.array([T, 6, 1, 11])
+
+    outs = {}
+    for w in (1, 3, 8):
+        outs[w] = jax.jit(
+            lambda p, a, tl, w=w: greedy_decode(
+                p, a, tl, pspec, jspec, max_tokens=20, frames_per_step=w)
+        )(params, audio, t_lens)
+    for w in (3, 8):
+        np.testing.assert_array_equal(np.asarray(outs[1][0]),
+                                      np.asarray(outs[w][0]))
+        np.testing.assert_array_equal(np.asarray(outs[1][1]),
+                                      np.asarray(outs[w][1]))
+
+
 def test_max_tokens_cap():
     params, pspec, jspec = _setup("conv")
     audio = jax.random.normal(jax.random.PRNGKey(4), (1, 30, 16)) * 3
