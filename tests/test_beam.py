@@ -75,6 +75,28 @@ def test_merge_duplicate_scores_unit():
     assert out[3] <= -1e29, "dead lane stays dead"
 
 
+def test_window_skip_equals_frame_at_a_time():
+    # The blank-run skip window must be exact: W=8 and W=1 (the plain
+    # frame-synchronous loop) must produce identical hypotheses/scores.
+    for seed, merge in [(3, True), (11, False)]:
+        params, pspec, jspec = _setup(seed=seed)
+        B, T, H = 3, 17, 16
+        audio = jax.random.normal(jax.random.PRNGKey(seed + 20), (B, T, H)) * 0.6
+        t_lens = jnp.array([T, 13, 6])
+        run = lambda w: jax.jit(lambda p, a, tl: beam_decode(
+            p, a, tl, pspec, jspec, beam_width=4, max_tokens=20,
+            merge_paths=merge, frames_per_step=w))(params, audio, t_lens)
+        tok1, n1, s1 = run(1)
+        tok8, n8, s8 = run(8)
+        np.testing.assert_array_equal(np.asarray(n1), np.asarray(n8))
+        for b in range(B):
+            np.testing.assert_array_equal(
+                np.asarray(tok1[b, : int(n1[b])]),
+                np.asarray(tok8[b, : int(n8[b])]))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s8),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_merge_does_not_lose_mass_vs_no_merge():
     # Path-merging can only add probability mass to the surviving
     # hypothesis: the best merged score must be >= the best unmerged one.
