@@ -103,6 +103,61 @@ def bench_beam() -> None:
     }))
 
 
+def bench_serve() -> None:
+    """Serving load benchmark: StreamingSessionPool multiplexing many
+    concurrent streams on one chip.  Each simulated client feeds 0.2 s
+    chunks; reports sustained audio-s/s (= streams x realtime factor) and
+    device-step latency percentiles from pool.stats()."""
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from rnnt_tpu.decode.streaming import StreamingSessionPool
+    from rnnt_tpu.models.rnnt import rnnt_init
+
+    cfg, spec, fspec = _flagship()
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    slots, seconds, chunk_s = 16, 10.0, 0.2
+    pool = StreamingSessionPool(params, model_state, spec, fspec,
+                                slots=slots, chunk_seconds=chunk_s)
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(slots, int(seconds * fspec.sample_rate))
+             .astype(np.float32) * 0.05)
+    handles = [pool.open() for _ in range(slots)]
+    step = int(chunk_s * fspec.sample_rate)
+
+    # Warmup: two chunks per slot — the pool only steps once a slot has
+    # chunk+overlap samples buffered, so one chunk would make the warmup
+    # pump a no-op and leak the compile into the timed region.
+    for c in range(2):
+        for i, h in enumerate(handles):
+            pool.feed(h, audio[i, c * step: (c + 1) * step])
+    assert pool.pump(), "warmup pump did no work — compile not warmed"
+    pool._pump_ms.clear()  # drop the warmup compile from latency stats
+    pool._pump_lanes.clear()
+
+    n_chunks = int(seconds * fspec.sample_rate) // step
+    t0 = time.perf_counter()
+    for c in range(2, n_chunks):
+        for i, h in enumerate(handles):
+            pool.feed(h, audio[i, c * step: (c + 1) * step])
+        pool.pump()
+    dt = time.perf_counter() - t0
+    stats = pool.stats()
+    audio_seconds = slots * chunk_s * (n_chunks - 2)
+    value = audio_seconds / dt
+    print(json.dumps({
+        "metric": f"streaming pool audio-seconds/s/chip ({slots} streams)",
+        "value": round(value, 2),
+        "unit": "audio-seconds/s",
+        "vs_baseline": None,
+        "realtime_streams_supported": int(value),
+        "step_ms_p50": stats["step_ms_p50"],
+        "step_ms_p99": stats["step_ms_p99"],
+        "mean_batched_lanes": stats["mean_batched_lanes"],
+    }))
+
+
 def bench_loss() -> None:
     """Loss-kernel microbenchmark: fused Pallas vs XLA chunked fwd+bwd and
     the fused kernel's FLOP utilization (BASELINE.json north-star)."""
@@ -206,6 +261,8 @@ if __name__ == "__main__":
         bench_decode()
     elif "--beam" in sys.argv:
         bench_beam()
+    elif "--serve" in sys.argv:
+        bench_serve()
     elif "--loss" in sys.argv:
         bench_loss()
     else:

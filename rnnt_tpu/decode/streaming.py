@@ -49,7 +49,6 @@ class StreamingSession:
         self.max_tokens_per_chunk = max_tokens_per_chunk
         self.max_symbols_per_step = max_symbols_per_step
 
-        self._featurize = jax.jit(make_featurizer(fspec))
         self._buffer = np.zeros((batch, 0), np.float32)
         self.conv_states = encoder_streaming_init_state(batch, spec.encoder)
         self.decode_carry = decode_init_carry(
@@ -58,21 +57,33 @@ class StreamingSession:
         self._tokens: list[list[int]] = [[] for _ in range(batch)]
         self.encoder_frames_emitted = 0
 
-        @jax.jit
-        def _encode_chunk(params, model_state, feats, conv_states):
-            return encoder_streaming_apply(
-                params["encoder"], model_state["encoder"], feats, conv_states,
-                spec.encoder)
+        featurize = make_featurizer(fspec)
 
-        @jax.jit
-        def _decode_chunk(dec_params, enc, t_lens, carry):
-            return greedy_decode_incremental(
-                dec_params, enc, t_lens, spec.predictor, spec.joint,
-                max_tokens=max_tokens_per_chunk,
-                max_symbols_per_step=max_symbols_per_step, carry=carry)
+        # One jitted program per chunk shape: featurize → streaming encoder
+        # → incremental decode (3 separate dispatches would triple the
+        # per-chunk launch latency — the dominant term for realtime-sized
+        # chunks).
+        def _feed_step(params, model_state, chunk, conv_states, carry):
+            feats = featurize(chunk)
+            enc, conv_states = encoder_streaming_apply(
+                params["encoder"], model_state["encoder"], feats,
+                conv_states, spec.encoder)
+            n_enc = enc.shape[1]  # static given the chunk shape
+            if n_enc == 0:
+                tokens = jnp.zeros((batch, max_tokens_per_chunk), jnp.int32)
+                counts = jnp.zeros((batch,), jnp.int32)
+            else:
+                t_lens = jnp.full((batch,), n_enc, jnp.int32)
+                dec_params = {"predictor": params["predictor"],
+                              "joint": params["joint"]}
+                tokens, counts, carry = greedy_decode_incremental(
+                    dec_params, enc, t_lens, spec.predictor, spec.joint,
+                    max_tokens=max_tokens_per_chunk,
+                    max_symbols_per_step=max_symbols_per_step, carry=carry)
+            return tokens, counts, n_enc, conv_states, carry
 
-        self._encode_chunk = _encode_chunk
-        self._decode_chunk = _decode_chunk
+        self._feed_step = jax.jit(_feed_step, static_argnums=(),
+                                  donate_argnums=(3, 4))
 
     def reset(self):
         self._buffer = np.zeros((self.batch, 0), np.float32)
@@ -100,17 +111,13 @@ class StreamingSession:
         chunk = self._buffer[:, : consumed + self.fspec.overlap]
         self._buffer = self._buffer[:, consumed:]
 
-        feats = self._featurize(chunk)  # (B, n_frames, bins)
-        enc, self.conv_states = self._encode_chunk(
-            self.params, self.model_state, feats, self.conv_states)
-        if enc.shape[1] == 0:
+        tokens, counts, n_enc, self.conv_states, self.decode_carry = \
+            self._feed_step(self.params, self.model_state, jnp.asarray(chunk),
+                            self.conv_states, self.decode_carry)
+        n_enc = int(n_enc)
+        if n_enc == 0:
             return [[] for _ in range(self.batch)]
-        self.encoder_frames_emitted += enc.shape[1]
-        t_lens = jnp.full((self.batch,), enc.shape[1], jnp.int32)
-        dec_params = {"predictor": self.params["predictor"],
-                      "joint": self.params["joint"]}
-        tokens, counts, self.decode_carry = self._decode_chunk(
-            dec_params, enc, t_lens, self.decode_carry)
+        self.encoder_frames_emitted += n_enc
         tokens = np.asarray(tokens)
         counts = np.asarray(counts)
         out = []
@@ -122,11 +129,6 @@ class StreamingSession:
 
     def tokens(self, b: int = 0) -> list[int]:
         return self._tokens[b]
-
-
-@jax.jit
-def _gather_lanes(tree, idx):
-    return jax.tree.map(lambda x: x[idx], tree)
 
 
 @jax.jit
@@ -169,7 +171,6 @@ class StreamingSessionPool:
         self.chunk_samples = self.frames_per_chunk * hop
         self._need = self.chunk_samples + fspec.overlap
 
-        self._featurize = jax.jit(make_featurizer(fspec))
         self._dec_params = {"predictor": params["predictor"],
                             "joint": params["joint"]}
         # Lane `slots` is the sink used by sub-batch padding.
@@ -190,21 +191,42 @@ class StreamingSessionPool:
         self._pump_lanes: deque[int] = deque(maxlen=1000)
         self._total_tokens = 0
 
-        @jax.jit
-        def _encode_chunk(params, model_state, feats, conv_states):
-            return encoder_streaming_apply(
+        featurize = make_featurizer(fspec)
+
+        # The whole device step is ONE jitted program: lane gather →
+        # featurize → streaming encoder → incremental decode → lane
+        # scatter.  Splitting these into separate jit calls (the obvious
+        # factoring) costs ~6 dispatch round-trips per pump — the dominant
+        # latency term for 0.2 s chunks, where each stage's compute is
+        # tiny.  One compile per padded sub-batch size.
+        def _pump_step(params, model_state, chunk, idx, conv_states,
+                       decode_carry):
+            conv_sub = jax.tree.map(lambda x: x[idx], conv_states)
+            carry_sub = jax.tree.map(lambda x: x[idx], decode_carry)
+            feats = featurize(chunk)
+            enc, conv_sub = encoder_streaming_apply(
                 params["encoder"], model_state["encoder"], feats,
-                conv_states, spec.encoder)
+                conv_sub, spec.encoder)
+            conv_states = jax.tree.map(
+                lambda x, s: x.at[idx].set(s), conv_states, conv_sub)
+            n = chunk.shape[0]
+            if enc.shape[1] == 0:  # static given the chunk shape
+                tokens = jnp.zeros((n, max_tokens_per_chunk), jnp.int32)
+                counts = jnp.zeros((n,), jnp.int32)
+            else:
+                t_lens = jnp.full((n,), enc.shape[1], jnp.int32)
+                dec_params = {"predictor": params["predictor"],
+                              "joint": params["joint"]}
+                tokens, counts, carry_sub = greedy_decode_incremental(
+                    dec_params, enc, t_lens, spec.predictor, spec.joint,
+                    max_tokens=max_tokens_per_chunk,
+                    max_symbols_per_step=max_symbols_per_step,
+                    carry=carry_sub)
+                decode_carry = jax.tree.map(
+                    lambda x, s: x.at[idx].set(s), decode_carry, carry_sub)
+            return tokens, counts, conv_states, decode_carry
 
-        @jax.jit
-        def _decode_chunk(dec_params, enc, t_lens, carry):
-            return greedy_decode_incremental(
-                dec_params, enc, t_lens, spec.predictor, spec.joint,
-                max_tokens=max_tokens_per_chunk,
-                max_symbols_per_step=max_symbols_per_step, carry=carry)
-
-        self._encode_chunk = _encode_chunk
-        self._decode_chunk = _decode_chunk
+        self._pump_step = jax.jit(_pump_step, donate_argnums=(4, 5))
 
     def open(self) -> int:
         """Claim a free slot; its stream state starts fresh."""
@@ -265,26 +287,17 @@ class StreamingSessionPool:
                 self._buffers[s] = self._buffers[s][self.chunk_samples:]
 
             idx = jnp.asarray(idx_np)
-            conv_sub = _gather_lanes(self.conv_states, idx)
-            carry_sub = _gather_lanes(self.decode_carry, idx)
-            feats = self._featurize(jnp.asarray(chunk))
-            enc, conv_sub = self._encode_chunk(
-                self.params, self.model_state, feats, conv_sub)
-            self.conv_states = _scatter_lanes(self.conv_states, conv_sub,
-                                              idx)
-            if enc.shape[1] > 0:
-                t_lens = jnp.full((n,), enc.shape[1], jnp.int32)
-                tokens, counts, carry_sub = self._decode_chunk(
-                    self._dec_params, enc, t_lens, carry_sub)
-                self.decode_carry = _scatter_lanes(self.decode_carry,
-                                                   carry_sub, idx)
-                tokens = np.asarray(tokens)
-                counts = np.asarray(counts)
-                for i, s in enumerate(ready):
-                    new = [int(t) for t in tokens[i, : counts[i]]]
-                    self._tokens[s].extend(new)
-                    self._total_tokens += len(new)
-                    out.setdefault(s, []).extend(new)
+            tokens, counts, self.conv_states, self.decode_carry = \
+                self._pump_step(self.params, self.model_state,
+                                jnp.asarray(chunk), idx, self.conv_states,
+                                self.decode_carry)
+            tokens = np.asarray(tokens)
+            counts = np.asarray(counts)
+            for i, s in enumerate(ready):
+                new = [int(t) for t in tokens[i, : counts[i]]]
+                self._tokens[s].extend(new)
+                self._total_tokens += len(new)
+                out.setdefault(s, []).extend(new)
             self._pump_ms.append((_time.perf_counter() - t0) * 1e3)
             self._pump_lanes.append(len(ready))
 
