@@ -158,6 +158,40 @@ def bench_serve() -> None:
     }))
 
 
+def bench_pipeline() -> None:
+    """Host-side input pipeline feed rate: augment+tokenize+bucket+collate
+    throughput in audio-seconds/s.  This bounds real-training throughput on
+    weak hosts (the 2-CPU v5e host fed ~450 audio-s/s against a ~3000
+    audio-s/s chip before the FFT/resample fixes in data/augment.py)."""
+    from rnnt_tpu.data.augment import default_augmentor
+    from rnnt_tpu.data.dataset import BatchIterator, Buckets, synthetic_dataset
+    from rnnt_tpu.data.tokenizer import UnigramTokenizer
+    from rnnt_tpu.ops.stft import FeaturizerSpec
+
+    ds = synthetic_dataset(size=256, seconds=10.0)
+    tok = UnigramTokenizer.from_file(
+        "/root/reference/spm_unigram_1023.model")
+    buckets = Buckets.from_frames([1024], [64], FeaturizerSpec())
+    it = BatchIterator(ds, tok, buckets, batch_size=8,
+                       augmentor=default_augmentor(0), num_workers=2,
+                       drop_last=False)
+    total = 0.0
+    # Warm pass primes scipy imports + FFT plans.
+    for i, batch in enumerate(it):
+        if i >= 2:
+            break
+    t0 = time.perf_counter()
+    for batch in it:
+        total += float(np.sum(batch["audio_lens"])) / 16000.0
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "host input-pipeline feed rate (augment+tokenize, 2 workers)",
+        "value": round(total / dt, 2),
+        "unit": "audio-seconds/s",
+        "vs_baseline": None,
+    }))
+
+
 def bench_loss() -> None:
     """Loss-kernel microbenchmark: fused Pallas vs XLA chunked fwd+bwd and
     the fused kernel's FLOP utilization (BASELINE.json north-star)."""
@@ -263,6 +297,8 @@ if __name__ == "__main__":
         bench_beam()
     elif "--serve" in sys.argv:
         bench_serve()
+    elif "--pipeline" in sys.argv:
+        bench_pipeline()
     elif "--loss" in sys.argv:
         bench_loss()
     else:
