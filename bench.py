@@ -235,7 +235,7 @@ def bench_loss() -> None:
     }))
 
 
-def main() -> None:
+def main(batch_size: int = 32) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -249,7 +249,6 @@ def main() -> None:
     # B=32 measured best throughput-per-latency on v5e-1 (B=8: 2156,
     # B=16: 2510, B=32: 2738, B=64: 2858 audio-s/s); 32 keeps step latency
     # ~58 ms while capturing nearly all of the utilization gain.
-    batch_size = 32
     seconds = 5.0
     max_tokens = 64
 
@@ -302,4 +301,6 @@ if __name__ == "__main__":
     elif "--loss" in sys.argv:
         bench_loss()
     else:
-        main()
+        b = (int(sys.argv[sys.argv.index("--batch") + 1])
+             if "--batch" in sys.argv else 32)
+        main(batch_size=b)
