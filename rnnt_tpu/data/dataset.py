@@ -102,6 +102,43 @@ def commonvoice_dataset(split: str, cache_dir: str = ""):
     return ds.map(fixup)
 
 
+class _ConcatRows:
+    """Concatenation of row datasets (HF datasets or plain row lists) behind
+    one __len__/__getitem__ — schema-agnostic, so mixed corpora with
+    different extra columns compose (the reference concatenates librispeech
+    and commonvoice into one training set, rnnt/train.py:52-56 +
+    config/basic_sp_convjs_fullcausal.yaml:97-151)."""
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+        self._offsets = []
+        total = 0
+        for p in self.parts:
+            total += len(p)
+            self._offsets.append(total)
+
+    def __len__(self):
+        return self._offsets[-1] if self._offsets else 0
+
+    def __getitem__(self, idx):
+        if idx < 0:
+            idx += len(self)
+        lo = 0
+        for part, off in zip(self.parts, self._offsets):
+            if idx < off:
+                return part[idx - lo]
+            lo = off
+        raise IndexError(idx)
+
+
+def concatenate_rows(parts):
+    """Concatenate datasets; single part passes through untouched."""
+    parts = list(parts)
+    if len(parts) == 1:
+        return parts[0]
+    return _ConcatRows(parts)
+
+
 @dataclass
 class Buckets:
     """Static-shape padding targets: samples (audio) and tokens (text)."""

@@ -71,9 +71,9 @@ def _conv_window_features(params, window: jax.Array, valid: jax.Array,
         return (y + p["b"].astype(y.dtype)).astype(xx.dtype)
 
     x = seq_mask(x, 0)
-    x = jax.nn.gelu(valid_conv(params["conv1"], x))      # (B, R-2, D) @ pos 2..
+    x = jax.nn.gelu(valid_conv(params["conv1"], x), approximate=False)      # (B, R-2, D) @ pos 2..
     x = seq_mask(x, 2)
-    x = jax.nn.gelu(valid_conv(params["conv2"], x))      # (B, R-6, D) @ pos 6
+    x = jax.nn.gelu(valid_conv(params["conv2"], x), approximate=False)      # (B, R-6, D) @ pos 6
     x = x[:, -1, :]
     y = jnp.dot(x, params["linear"]["w"].astype(x.dtype),
                 preferred_element_type=jnp.float32)

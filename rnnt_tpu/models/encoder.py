@@ -153,7 +153,7 @@ def _block_apply(params, state, x, b: JasperBlockSpec, training, rng):
         if i == b.num_sub_blocks - 1:
             # Lookahead shortens x; align the residual to the surviving frames.
             x = x + residual[:, : x.shape[1], :]
-        x = jax.nn.gelu(x)
+        x = jax.nn.gelu(x, approximate=False)
         x = _dropout(x, b.dropout, training, sub_rng)
     return x, {"norms": new_nstates, "residual_norm": res_state}
 
@@ -165,7 +165,7 @@ def encoder_apply(params, state, x, spec: EncoderSpec, *, training: bool = False
     x = causal_conv_apply(params["prologue"]["conv"], x, spec.prologue_spec)
     x, pro_state = norm_apply(params["prologue"]["norm"], state["prologue"], x,
                               spec.norm_type, training)
-    x = jax.nn.gelu(x)
+    x = jax.nn.gelu(x, approximate=False)
 
     new_block_states = []
     for bi, b in enumerate(spec.blocks):
@@ -179,7 +179,7 @@ def encoder_apply(params, state, x, spec: EncoderSpec, *, training: bool = False
     x = causal_conv_apply(params["epilogue"]["conv"], x, spec.epilogue_spec)
     x, epi_state = norm_apply(params["epilogue"]["norm"], state["epilogue"], x,
                               spec.norm_type, training)
-    x = jax.nn.gelu(x)
+    x = jax.nn.gelu(x, approximate=False)
 
     x = conv1x1_apply(params["out"], x)
     new_state = {"prologue": pro_state, "blocks": new_block_states,
@@ -230,7 +230,7 @@ def encoder_streaming_apply(params, state, x, conv_states: tuple,
     x = step_conv(params["prologue"]["conv"], x, spec.prologue_spec)
     x, _ = norm_apply(params["prologue"]["norm"], state["prologue"], x,
                       spec.norm_type, training=False)
-    x = jax.nn.gelu(x)
+    x = jax.nn.gelu(x, approximate=False)
 
     for bi, b in enumerate(spec.blocks):
         bp, bs = params["blocks"][bi], state["blocks"][bi]
@@ -243,12 +243,12 @@ def encoder_streaming_apply(params, state, x, conv_states: tuple,
                               training=False)
             if i == b.num_sub_blocks - 1:
                 x = x + residual[:, : x.shape[1], :]
-            x = jax.nn.gelu(x)
+            x = jax.nn.gelu(x, approximate=False)
 
     x = step_conv(params["epilogue"]["conv"], x, spec.epilogue_spec)
     x, _ = norm_apply(params["epilogue"]["norm"], state["epilogue"], x,
                       spec.norm_type, training=False)
-    x = jax.nn.gelu(x)
+    x = jax.nn.gelu(x, approximate=False)
 
     x = conv1x1_apply(params["out"], x)
     return x, tuple(new_states)

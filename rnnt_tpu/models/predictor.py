@@ -121,10 +121,10 @@ def conv_predictor_apply(params, tokens: jax.Array, spec: ConvPredictorSpec, *,
     x = params["embedding"][tokens]
     x = layer_norm_apply(params["input_ln"], x)
     x = causal_conv_apply(params["conv1"], x, spec.conv1_spec)
-    x = jax.nn.gelu(x)
+    x = jax.nn.gelu(x, approximate=False)
     x = _dropout(x, spec.dropout, training, r1)
     x = causal_conv_apply(params["conv2"], x, spec.conv2_spec)
-    x = jax.nn.gelu(x)
+    x = jax.nn.gelu(x, approximate=False)
     x = _dropout(x, spec.dropout, training, r2)
     x = _linear(params["linear"], x)
     x = layer_norm_apply(params["output_ln"], x)

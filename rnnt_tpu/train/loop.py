@@ -24,6 +24,8 @@ from rnnt_tpu.config.config import Config, build_featurizer_spec, build_model_sp
 from rnnt_tpu.data.dataset import (
     BatchIterator,
     Buckets,
+    commonvoice_dataset,
+    concatenate_rows,
     librispeech_dataset,
     synthetic_dataset,
 )
@@ -54,12 +56,26 @@ def _load_datasets(cfg: Config):
         evals = synthetic_dataset(max(dc.synthetic_size // 8, 8),
                                   dc.synthetic_seconds, seed=1)
         return train, evals
-    if dc.dataset == "librispeech":
-        train = librispeech_dataset(dc.train_splits, dc.cache_dir)
-        evals = (train if dc.eval_on_train
-                 else librispeech_dataset([dc.eval_split], dc.cache_dir))
-        return train, evals
-    raise ValueError(f"unknown dataset {dc.dataset}")
+    if dc.dataset not in ("librispeech", "commonvoice"):
+        raise ValueError(f"unknown dataset {dc.dataset}")
+
+    def load(split: str):
+        """A split may carry an explicit corpus prefix ("commonvoice:train",
+        "librispeech:train.clean.100"); unprefixed splits use cfg.data.dataset.
+        This covers the reference's mixed fullcausal recipe (librispeech
+        100/360/500 + commonvoice train in one training set,
+        rnnt/config/basic_sp_convjs_fullcausal.yaml:97-151)."""
+        corpus, _, name = split.rpartition(":")
+        corpus = corpus or dc.dataset
+        if corpus == "librispeech":
+            return librispeech_dataset([name], dc.cache_dir)
+        if corpus == "commonvoice":
+            return commonvoice_dataset(name, dc.cache_dir)
+        raise ValueError(f"unknown corpus prefix {corpus!r} in split {split!r}")
+
+    train = concatenate_rows([load(s) for s in dc.train_splits])
+    evals = train if dc.eval_on_train else load(dc.eval_split)
+    return train, evals
 
 
 def _shard_batch(batch: dict, mesh) -> dict:

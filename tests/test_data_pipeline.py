@@ -106,3 +106,59 @@ def test_batch_iterator_host_sharding():
     shards = [ids_seen(i, 4) for i in range(4)]
     assert sum(len(s) for s in shards) == len(all_lens)
     assert sorted(x for s in shards for x in s) == sorted(all_lens)
+
+
+def test_concat_rows_indexing():
+    from rnnt_tpu.data.dataset import concatenate_rows
+
+    a = [{"text": f"a{i}"} for i in range(3)]
+    b = [{"text": f"b{i}"} for i in range(2)]
+    assert concatenate_rows([a]) is a
+    cat = concatenate_rows([a, b])
+    assert len(cat) == 5
+    assert [cat[i]["text"] for i in range(5)] == ["a0", "a1", "a2", "b0", "b1"]
+    assert cat[-1]["text"] == "b1"
+
+
+def test_dataset_dispatch_commonvoice_and_mixed(monkeypatch):
+    """`dataset: commonvoice` and corpus-prefixed mixed splits both build
+    (reference fullcausal recipe: librispeech 100/360/500 + commonvoice
+    train concatenated, rnnt/config/basic_sp_convjs_fullcausal.yaml:97-151)."""
+    import rnnt_tpu.train.loop as loop
+    from rnnt_tpu.config.config import Config
+
+    row = {"audio": {"array": np.zeros(16), "sampling_rate": 16000}, "text": "x"}
+    calls = []
+
+    def fake_ls(splits, cache_dir=""):
+        calls.append(("librispeech", tuple(splits)))
+        return [dict(row, text=f"ls {splits[0]}")] * 3
+
+    def fake_cv(split, cache_dir=""):
+        calls.append(("commonvoice", split))
+        return [dict(row, text=f"cv {split}")] * 2
+
+    monkeypatch.setattr(loop, "librispeech_dataset", fake_ls)
+    monkeypatch.setattr(loop, "commonvoice_dataset", fake_cv)
+
+    cfg = Config()
+    cfg.data.dataset = "commonvoice"
+    cfg.data.train_splits = ["train"]
+    cfg.data.eval_split = "validation"
+    train, evals = loop._load_datasets(cfg)
+    assert len(train) == 2 and train[0]["text"] == "cv train"
+    assert len(evals) == 2 and evals[0]["text"] == "cv validation"
+    assert ("commonvoice", "train") in calls
+
+    calls.clear()
+    cfg = Config()
+    cfg.data.dataset = "librispeech"
+    cfg.data.train_splits = ["train.clean.100", "commonvoice:train"]
+    cfg.data.eval_split = "validation.clean"
+    train, evals = loop._load_datasets(cfg)
+    assert len(train) == 5  # 3 librispeech + 2 commonvoice rows
+    assert train[0]["text"] == "ls train.clean.100"
+    assert train[3]["text"] == "cv train"
+    assert calls == [("librispeech", ("train.clean.100",)),
+                     ("commonvoice", "train"),
+                     ("librispeech", ("validation.clean",))]
