@@ -106,10 +106,38 @@ def main(argv=None) -> None:
     txt = jnp.zeros((1, spec.predictor.output_dim), jnp.float32)
     save("joint", lambda x, y: joint_single(params["joint"], x, y), a, txt)
 
-    # 5. Tokenizer id→piece table (reference rnnt/export_onnx.py:85-89).
+    # 5. Featurizer: waveform chunk -> (1, frames, bins).  The reference's
+    #    runtime ships a JS featurizer (rnnt-js/featurizer.js); without this
+    #    graph a bundle consumer cannot go wav -> tokens.  Chunk length =
+    #    frames*hop + (win-hop) overlap — the FeatureStreamer contract
+    #    (rnnt-js/featurizer.js:79-107): feed frames*hop new samples per
+    #    call, carrying the last win-hop samples forward.
+    from rnnt_tpu.ops.stft import make_featurizer
+
+    chunk_samples = args.frames * fspec.hop_length + fspec.overlap
+    wav_chunk = jnp.zeros((1, chunk_samples), jnp.float32)
+    save("featurize", jax.jit(make_featurizer(fspec)), wav_chunk)
+
+    # 6. Tokenizer id→piece table (reference rnnt/export_onnx.py:85-89).
     (out_dir / "tokenizer.json").write_text(
         json.dumps({str(k): v for k, v in tokenizer.piece_table().items()}))
     print(f"  tokenizer.json ({tokenizer.vocab_size()} pieces)")
+
+    # 7. Bundle manifest: everything a consumer needs to drive the graphs.
+    (out_dir / "manifest.json").write_text(json.dumps({
+        "sample_rate": fspec.sample_rate,
+        "chunk_samples": chunk_samples,
+        "chunk_frames": args.frames,
+        "hop_length": fspec.hop_length,
+        "win_length": fspec.win_length,
+        "overlap": fspec.overlap,
+        "num_bins": n_bins,
+        "blank_idx": spec.blank_idx,
+        "num_classes": spec.joint.num_classes,
+        "predictor_window": getattr(spec.predictor, "receptive_field", 0),
+        "graphs": ["featurize", "encoder", "encoder_streaming",
+                   "predictor", "joint"],
+    }, indent=2))
     print(f"export complete: {out_dir}")
 
 

@@ -17,24 +17,36 @@ from pathlib import Path
 import numpy as np
 
 from rnnt_tpu.data.augment import (
+    ATempo,
     Augmentor,
+    ChooseAFilter,
     PeakLevel,
     PitchShift,
+    REFERENCE_CHORUS_FILTERS,
+    REFERENCE_COMPRESSOR_FILTERS,
     ShapedNoise,
     Tempo,
     Trim,
     WhiteNoise,
+    augmentation_from_filter_string,
 )
 
 AUGS = [
-    ("tempo_fast", Tempo(1.0, 1.2, 1.25)),
-    ("tempo_slow", Tempo(1.0, 0.75, 0.8)),
+    ("atempo_fast", ATempo(1.0, 1.2, 1.25)),
+    ("atempo_slow", ATempo(1.0, 0.75, 0.8)),
+    ("tempo_fast_resample", Tempo(1.0, 1.2, 1.25)),
+    ("tempo_slow_resample", Tempo(1.0, 0.75, 0.8)),
     ("pitch_up", PitchShift(1.0, 3, 3)),
     ("pitch_down", PitchShift(1.0, -3, -3)),
     ("trim", Trim(1.0, 0.02)),
     ("peak_level", PeakLevel(1.0, 0.5, 0.6)),
     ("white_noise", WhiteNoise(1.0, 0.05, 0.05)),
     ("shaped_noise", ShapedNoise(1.0, 0.05, 0.05)),
+    ("chorus_any", ChooseAFilter(1.0, REFERENCE_CHORUS_FILTERS)),
+    ("compressor_any", ChooseAFilter(1.0, REFERENCE_COMPRESSOR_FILTERS)),
+    ("chorus_0", augmentation_from_filter_string(REFERENCE_CHORUS_FILTERS[0])),
+    ("compressor_aggressive",
+     augmentation_from_filter_string(REFERENCE_COMPRESSOR_FILTERS[2])),
 ]
 
 

@@ -145,6 +145,11 @@ class DataConfig:
     num_workers: int = 2
     worker_mode: str = "thread"  # thread | process (forked row workers)
     augment: bool = True
+    # Explicit augmentation stack: list of {kind: ..., p: ..., **kwargs}
+    # dicts (see rnnt_tpu/data/augment.py AUGMENTATIONS).  Empty => the
+    # default fullcausal recipe.  Mirrors the reference's Hydra-instantiated
+    # augmentor list (config/basic_sp_convjs_fullcausal.yaml:120-158).
+    augmentations: list = field(default_factory=list)
     # Synthetic-data knobs (used when no real dataset is available).
     synthetic_size: int = 256
     synthetic_seconds: float = 3.0

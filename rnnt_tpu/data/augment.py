@@ -101,15 +101,15 @@ class ShapedNoise(Augmentation):
 def _resample(audio: np.ndarray, ratio: float) -> np.ndarray:
     """Polyphase resample via scipy; ratio > 1 shortens (speeds up).
 
-    The ratio is quantized to a small rational (max denominator 64, worst
-    relative error ~2e-4 — inaudible for augmentation) so resample_poly's
+    The ratio is quantized to a small rational (max denominator 32, worst
+    relative error ~1e-3 — inaudible for augmentation) so resample_poly's
     polyphase filter stays short; a 1000/997-style coprime pair designs a
     20k-tap filter and dominates the 2-CPU host's augmentation budget."""
     from fractions import Fraction
 
     from scipy.signal import resample_poly
 
-    frac = Fraction(ratio).limit_denominator(64)
+    frac = Fraction(ratio).limit_denominator(32)
     up, down = frac.denominator, max(frac.numerator, 1)
     return resample_poly(audio, up, down).astype(audio.dtype)
 
@@ -144,6 +144,205 @@ class PitchShift(Augmentation):
         return _resample(audio, 2.0 ** (semis / 12.0))
 
 
+def _time_stretch(audio: np.ndarray, rate: float, frame: int = 512) -> np.ndarray:
+    """Pitch-preserving time stretch (phase vocoder).  rate > 1 speeds up
+    (shorter output), like ffmpeg's ``atempo`` (reference
+    rnnt/augment.py:153-161).
+
+    Fully vectorized for the 2-CPU host: analysis frames gathered in one
+    strided view, batch rfft, phase propagation as a cumsum over
+    instantaneous frequencies, batch irfft, and — because the synthesis hop
+    is exactly frame/2 — overlap-add as two shifted reshaped adds.  ~5 ms
+    for a 5 s clip (a Python-loop WSOLA measured 17 ms — it starved the
+    input pipeline; see bench.py --pipeline).
+    """
+    hs = frame // 2
+    n = len(audio)
+    if n < 2 * frame or abs(rate - 1.0) < 1e-3:
+        return audio
+    out_len = int(n / rate)
+    m_frames = max((out_len - frame) // hs + 1, 2)
+    window = np.hanning(frame).astype(np.float32)
+
+    # Analysis frame positions (float hop hs*rate, clamped to the signal).
+    from scipy import fft as sfft  # float32-preserving (np.fft upcasts)
+
+    pos = np.minimum((np.arange(m_frames) * hs * rate).astype(np.int64),
+                     n - frame)
+    frames = np.lib.stride_tricks.sliding_window_view(audio, frame)[pos]
+    spec = sfft.rfft(frames * window, axis=1)            # (M, frame/2+1)
+
+    mag = np.abs(spec)
+    phase = np.angle(spec)
+    omega = (2.0 * np.pi * np.arange(frame // 2 + 1) / frame
+             ).astype(np.float32)                            # rad/sample
+    ha = np.diff(pos)[:, None].astype(np.float32)            # actual hops
+    dphi = phase[1:] - phase[:-1] - omega[None, :] * ha
+    dphi -= 2.0 * np.pi * np.round(dphi / (2.0 * np.pi))     # princarg
+    inst_freq = omega[None, :] + dphi / np.maximum(ha, 1.0)
+    psi = np.concatenate(
+        [phase[:1], phase[:1] + np.cumsum(inst_freq * hs, axis=0,
+                                          dtype=np.float32)], axis=0)
+
+    out_frames = sfft.irfft(mag * (np.cos(psi) + 1j * np.sin(psi)), frame,
+                            axis=1).astype(np.float32) * window
+
+    # Overlap-add at hop hs == frame/2: two shifted reshaped adds.
+    acc = np.zeros((m_frames + 1, hs), np.float32)
+    acc[:m_frames] += out_frames[:, :hs]
+    acc[1:] += out_frames[:, hs:]
+    out = acc.ravel()
+    # Window^2 OLA normalization (same reshape trick, one frame's worth).
+    w2 = window * window
+    wsum = np.zeros((m_frames + 1, hs), np.float32)
+    wsum[:m_frames] += w2[:hs]
+    wsum[1:] += w2[hs:]
+    out /= np.maximum(wsum.ravel(), 1e-3)
+    return out[:out_len].astype(audio.dtype)
+
+
+class ATempo(Augmentation):
+    """True pitch-preserving tempo change (reference atempo,
+    rnnt/augment.py:153-161): duration scales by 1/rate, pitch constant —
+    unlike ``Tempo``/``PitchShift`` which resample (pitch follows rate)."""
+
+    def __init__(self, p: float, min_tempo_rate: float = 0.8,
+                 max_tempo_rate: float = 1.2):
+        super().__init__(p)
+        self.lo, self.hi = min_tempo_rate, max_tempo_rate
+
+    def apply(self, audio, sample_rate, rng):
+        rate = rng.uniform(self.lo, self.hi)
+        return _time_stretch(audio, rate)
+
+
+class Chorus(Augmentation):
+    """Chorus: dry signal plus decayed, sinusoidally-modulated delay taps
+    (the ffmpeg/sox ``chorus`` filter the reference composes via
+    ChooseAFilter, rnnt/augment.py:190-196 +
+    config/basic_sp_convjs_fullcausal.yaml:139-148).
+
+    ``y[n] = in_gain*x[n] + out_gain * sum_j decay_j * x[n - D_j(n)]`` with
+    ``D_j(n) = delay_j + depth_j * sin(2*pi*speed_j*n/sr)`` (delays/depths in
+    ms, speeds in Hz), fractional delays linearly interpolated.
+    """
+
+    def __init__(self, p: float, in_gain: float = 0.5, out_gain: float = 0.8,
+                 delays_ms=(30.0,), decays=(0.4,), speeds=(0.1,),
+                 depths_ms=(2.0,)):
+        super().__init__(p)
+        self.in_gain, self.out_gain = in_gain, out_gain
+        self.taps = list(zip(delays_ms, decays, speeds, depths_ms))
+
+    def apply(self, audio, sample_rate, rng):
+        n = np.arange(len(audio), dtype=np.float32)
+        wet = np.zeros(len(audio), np.float32)
+        for delay_ms, decay, speed, depth_ms in self.taps:
+            d = (delay_ms + depth_ms * np.sin(
+                (2 * np.pi * speed / sample_rate) * n))
+            src = n - d * (sample_rate / 1000.0)
+            wet += decay * np.interp(src, n, audio, left=0.0,
+                                     right=0.0).astype(np.float32)
+        return (self.in_gain * audio + self.out_gain * wet).astype(audio.dtype)
+
+
+class Compressor(Augmentation):
+    """Dynamic-range compressor (the ffmpeg ``acompressor`` variants the
+    reference composes via ChooseAFilter,
+    config/basic_sp_convjs_fullcausal.yaml:152-158).
+
+    Block-based (1 ms) RMS detector with attack/release smoothing, hard-knee
+    gain above threshold, per-sample gains linearly interpolated between
+    block centers.
+    """
+
+    def __init__(self, p: float, threshold_db: float = -20.0,
+                 ratio: float = 4.0, attack_ms: float = 5.0,
+                 release_ms: float = 250.0, makeup: float = 1.0):
+        super().__init__(p)
+        self.threshold_db = threshold_db
+        self.ratio = ratio
+        self.attack_ms = attack_ms
+        self.release_ms = release_ms
+        self.makeup = makeup
+
+    def apply(self, audio, sample_rate, rng):
+        block = max(sample_rate // 1000, 1)  # 1 ms
+        nb = (len(audio) + block - 1) // block
+        x = np.pad(audio.astype(np.float32), (0, nb * block - len(audio)))
+        rms = np.sqrt(np.mean(x.reshape(nb, block) ** 2, axis=1) + 1e-12)
+
+        # Attack/release envelope as the max of two single-pole followers
+        # (vectorized: a data-dependent dual-coefficient IIR would need a
+        # Python loop).  Rising edges track the fast attack pole, falling
+        # edges the slow release pole — the classic two-follower topology.
+        from scipy.signal import lfilter
+
+        block_ms = 1000.0 * block / sample_rate
+        atk = float(np.exp(-block_ms / max(self.attack_ms, 1e-3)))
+        rel = float(np.exp(-block_ms / max(self.release_ms, 1e-3)))
+        zi = np.array([rms[0]])
+        fast, _ = lfilter([1.0 - atk], [1.0, -atk], rms, zi=zi * atk)
+        slow, _ = lfilter([1.0 - rel], [1.0, -rel], rms, zi=zi * rel)
+        env = np.maximum(fast, slow).astype(np.float32)
+
+        level_db = 20.0 * np.log10(env)
+        over = np.maximum(level_db - self.threshold_db, 0.0)
+        gain_db = over * (1.0 / self.ratio - 1.0)
+        gains = (10.0 ** (gain_db / 20.0)) * self.makeup
+        centers = (np.arange(nb) + 0.5) * block
+        g = np.interp(np.arange(len(audio)), centers, gains)
+        return (audio * g).astype(audio.dtype)
+
+
+def augmentation_from_filter_string(filter_str: str, p: float = 1.0):
+    """Build an Augmentation from an ffmpeg filter string, so the
+    reference's YAML recipes work verbatim
+    (config/basic_sp_convjs_fullcausal.yaml:127-158).
+
+    Supported: ``chorus=in:out:delays:decays:speeds:depths`` ('|'-separated
+    multi-tap values) and
+    ``acompressor=threshold=-20dB:ratio=4:attack=5:release=250``.
+    """
+    name, _, args = filter_str.partition("=")
+    name = name.strip()
+    if name == "chorus":
+        parts = args.split(":")
+        if len(parts) != 6:
+            raise ValueError(f"chorus needs 6 params: {filter_str!r}")
+        in_gain, out_gain = float(parts[0]), float(parts[1])
+        multi = [tuple(float(v) for v in s.split("|")) for s in parts[2:]]
+        return Chorus(p, in_gain, out_gain, delays_ms=multi[0],
+                      decays=multi[1], speeds=multi[2], depths_ms=multi[3])
+    if name == "acompressor":
+        kw = {}
+        for item in args.split(":"):
+            k, _, v = item.partition("=")
+            v = v.strip().removesuffix("dB")
+            kw[k.strip()] = float(v)
+        return Compressor(
+            p,
+            threshold_db=kw.get("threshold", -20.0),
+            ratio=kw.get("ratio", 4.0),
+            attack_ms=kw.get("attack", 5.0),
+            release_ms=kw.get("release", 250.0),
+            makeup=kw.get("makeup", 1.0))
+    raise ValueError(f"unsupported filter: {filter_str!r}")
+
+
+class ChooseAFilter(Augmentation):
+    """Pick one ffmpeg-style filter string at random per application
+    (reference rnnt/augment.py:190-196)."""
+
+    def __init__(self, p: float, filters: list[str]):
+        super().__init__(p)
+        self.choices = [augmentation_from_filter_string(f) for f in filters]
+
+    def apply(self, audio, sample_rate, rng):
+        aug = self.choices[rng.randint(len(self.choices))]
+        return aug.apply(audio, sample_rate, rng)
+
+
 class Trim(Augmentation):
     """Trim a random slice off the start (reference rnnt/augment.py:176-188)."""
 
@@ -174,15 +373,74 @@ class Augmentor:
         return audio
 
 
+# The reference fullcausal recipe's filter variants, verbatim
+# (config/basic_sp_convjs_fullcausal.yaml:139-158).
+REFERENCE_CHORUS_FILTERS = [
+    "chorus=0.5:0.8:30:0.4:0.1:2",
+    "chorus=0.4:0.6:25:0.3:0.1:8",
+    "chorus=0.6:0.8:35:0.3:0.05:5",
+    "chorus=0.7:0.9:28:0.4:0.05:4",
+    "chorus=0.5:0.7:40:0.4:0.08:3",
+    "chorus=0.4:0.6:20:0.5:0.07:6",
+    "chorus=0.5:0.7:32:0.3:0.09:7",
+    "chorus=0.6:0.8:30:0.4:0.06:3",
+    "chorus=0.5:0.7:27:0.5:0.05:4",
+    "chorus=0.4:0.6:34:0.3:0.04:5",
+]
+REFERENCE_COMPRESSOR_FILTERS = [
+    "acompressor=threshold=-20dB:ratio=4:attack=5:release=250",
+    "acompressor=threshold=-30dB:ratio=2:attack=10:release=1000",
+    "acompressor=threshold=-10dB:ratio=8:attack=2:release=50",
+    "acompressor=threshold=-15dB:ratio=3:attack=50:release=100",
+    "acompressor=threshold=-25dB:ratio=10:attack=1:release=500",
+]
+
+# kind name (YAML) -> class, for config-driven stacks.
+AUGMENTATIONS = {
+    "atempo": ATempo,
+    "tempo": Tempo,
+    "pitch_shift": PitchShift,
+    "trim": Trim,
+    "peak_level": PeakLevel,
+    "white_noise": WhiteNoise,
+    "shaped_noise": ShapedNoise,
+    "chorus": Chorus,
+    "compressor": Compressor,
+    "choose_filter": ChooseAFilter,
+}
+
+
+def build_augmentor(aug_configs: list[dict], seed: int = 0) -> Augmentor:
+    """Build a composition from YAML dicts, e.g.
+    ``[{kind: atempo, p: 0.5, min_tempo_rate: 0.75, max_tempo_rate: 1.25},
+    {kind: choose_filter, p: 0.5, filters: ["chorus=0.5:0.8:30:0.4:0.1:2"]}]``
+    — the reference drives the same composition through Hydra ``_target_``
+    lists (config/basic_sp_convjs_fullcausal.yaml:120-158)."""
+    augs = []
+    for c in aug_configs:
+        c = dict(c)
+        kind = c.pop("kind")
+        cls = AUGMENTATIONS.get(kind)
+        if cls is None:
+            raise ValueError(f"unknown augmentation kind {kind!r}; "
+                             f"known: {sorted(AUGMENTATIONS)}")
+        augs.append(cls(**c))
+    return Augmentor(augs, seed=seed)
+
+
 def default_augmentor(seed: int = 0) -> Augmentor:
-    """Composition mirroring the reference's fullcausal training recipe."""
+    """The reference's fullcausal training recipe
+    (config/basic_sp_convjs_fullcausal.yaml:120-158): pitch-preserving
+    atempo, pitch shift, trim, one-of-10 chorus, one-of-5 compressor,
+    shaped noise, peak level."""
     return Augmentor([
-        Tempo(0.5, 0.75, 1.25),
+        ATempo(0.5, 0.75, 1.25),
         PitchShift(0.5, -3, 3),
         Trim(0.5, 0.02),
-        PeakLevel(0.3),
-        ShapedNoise(0.3),
-        WhiteNoise(0.2),
+        ChooseAFilter(0.5, REFERENCE_CHORUS_FILTERS),
+        ChooseAFilter(0.5, REFERENCE_COMPRESSOR_FILTERS),
+        ShapedNoise(0.5, 0.001, 0.015, num_buckets=8),
+        PeakLevel(0.5, 0.25, 0.99),
     ], seed=seed)
 
 

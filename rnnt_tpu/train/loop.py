@@ -171,6 +171,9 @@ def train(cfg: Config, *, output_base: str = "experiments",
     augmentor = None
     if cfg.data.augment and make_augmentor is not None:
         augmentor = make_augmentor(cfg)
+    elif cfg.data.augment and cfg.data.augmentations:
+        from rnnt_tpu.data.augment import build_augmentor
+        augmentor = build_augmentor(cfg.data.augmentations)
     elif cfg.data.augment:
         from rnnt_tpu.data.augment import default_augmentor
         augmentor = default_augmentor()

@@ -44,3 +44,35 @@ def test_wer_basics():
     assert wer(["a b c"], ["a c"]) == pytest.approx(1 / 3)
     assert wer(["a b"], ["a b c"]) == pytest.approx(1 / 2)
     assert wer(["a b", "c d"], ["a b", "c x"]) == pytest.approx(1 / 4)
+
+
+def test_native_vs_python_encode_fuzz():
+    """The C++ fast path and the pure-Python Viterbi must produce identical
+    ids on arbitrary unicode text (VERDICT r1: a native bug would previously
+    have been invisible — encode() silently prefers native)."""
+    import random
+
+    tok = UnigramTokenizer.from_file(SPM_MODEL)
+    if tok._native is None:
+        pytest.skip("native tokenizer not built in this environment")
+
+    rng = random.Random(1234)
+    alphabets = [
+        "abcdefghijklmnopqrstuvwxyz ",
+        "abcdefgh  ,.!?'\"-;: ",
+        "the quick brown fox0123456789 ",
+        "äöüßéèêñçабвгдежз ",           # latin accents + cyrillic
+        "日本語のテキスト中文文字 ",        # CJK (mostly unk pieces)
+        "a b\tc\nd   e ",               # whitespace runs
+        "🎤🔊🎧 audio ",                 # beyond the BMP
+    ]
+    cases = ["", " ", "   ", "a", "▁", "hello world"]
+    for _ in range(300):
+        alpha = rng.choice(alphabets)
+        n = rng.randint(0, 40)
+        cases.append("".join(rng.choice(alpha) for _ in range(n)))
+
+    for text in cases:
+        want = tok._encode_py(tok._normalize(text))
+        got = tok.encode(text)
+        assert got == want, f"native != python for {text!r}: {got} vs {want}"
