@@ -235,22 +235,26 @@ def bench_loss() -> None:
     }))
 
 
-def main(batch_size: int = 32) -> None:
+def main(batch_size: int = 32, config_name: str = "base_convjs",
+         seconds: float = 5.0, max_tokens: int = 64) -> None:
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship, _synthetic_batch
+    from __graft_entry__ import _synthetic_batch
+    from rnnt_tpu.cli.train import resolve_config
+    from rnnt_tpu.config.config import (
+        build_featurizer_spec, build_model_spec, load_config)
     from rnnt_tpu.models.rnnt import rnnt_init
     from rnnt_tpu.train.optim import make_optimizer
     from rnnt_tpu.train.step import TrainState, make_train_step
 
-    cfg, spec, fspec = _flagship()
+    cfg = load_config(resolve_config(config_name))
+    spec = build_model_spec(cfg)
+    fspec = build_featurizer_spec(cfg)
 
     # B=32 measured best throughput-per-latency on v5e-1 (B=8: 2156,
     # B=16: 2510, B=32: 2738, B=64: 2858 audio-s/s); 32 keeps step latency
     # ~58 ms while capturing nearly all of the utilization gain.
-    seconds = 5.0
-    max_tokens = 64
 
     tx, _ = make_optimizer(cfg.training, total_steps=1000)
     params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
@@ -281,12 +285,20 @@ def main(batch_size: int = 32) -> None:
 
     audio_seconds = float(np.sum(np.asarray(batch["audio_lens"]))) / fspec.sample_rate
     value = audio_seconds * iters / dt
+    label = ("base RNN-T" if config_name == "base_convjs"
+             else f"{config_name} RNN-T")
     print(json.dumps({
-        "metric": "train audio-seconds/s/chip (base RNN-T)",
+        "metric": f"train audio-seconds/s/chip ({label})",
         "value": round(value, 2),
         "unit": "audio-seconds/s",
         "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_S, 3),
+        "step_ms": round(dt / iters * 1e3, 2),
     }))
+
+
+def _argval(flag, default, cast=str):
+    return (cast(sys.argv[sys.argv.index(flag) + 1])
+            if flag in sys.argv else default)
 
 
 if __name__ == "__main__":
@@ -301,6 +313,7 @@ if __name__ == "__main__":
     elif "--loss" in sys.argv:
         bench_loss()
     else:
-        b = (int(sys.argv[sys.argv.index("--batch") + 1])
-             if "--batch" in sys.argv else 32)
-        main(batch_size=b)
+        main(batch_size=_argval("--batch", 32, int),
+             config_name=_argval("--config", "base_convjs"),
+             seconds=_argval("--seconds", 5.0, float),
+             max_tokens=_argval("--tokens", 64, int))

@@ -21,6 +21,10 @@ from pathlib import Path
 # plus learning rate, which matters far more in practice.
 SPACE = {
     "training.clip_grad_norm": ("log", 0.5, 50.0),
+    # The reference's optuna study tunes rnnt_grad_clamp alongside the clip
+    # (rnnt/optuna.py:13-17; its trainer never forwards it — here it's live,
+    # bounding d(loss)/d(logits) in the transducer backward).
+    "training.rnnt_grad_clamp": ("log", 0.01, 10.0),
     "training.optimizer.lr": ("log", 5e-5, 2e-3),
     "predictor.dropout": ("uniform", 0.0, 0.5),
 }

@@ -125,6 +125,10 @@ class TrainingConfig:
     # fused kernels measure ~4% faster end-to-end on v5e; interpret mode
     # would crawl on CPU).
     loss_impl: str = "auto"  # auto | chunked | pallas
+    # > 0 clamps d(loss)/d(logits) in the transducer backward (the
+    # torchaudio rnnt_loss `clamp`; the reference tunes it in optuna but
+    # hardcodes it off in the trainer, rnnt/model.py:40).
+    rnnt_grad_clamp: float = -1.0
     accumulate_steps: int = 1   # gradient accumulation microbatches
     spec_augment: bool = False  # device-side time/freq masking (train only)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
@@ -294,4 +298,5 @@ def build_model_spec(cfg: Config) -> RNNTSpec:
 
     return RNNTSpec(encoder=encoder, predictor=predictor, joint=joint,
                     loss_chunk_size=cfg.training.loss_chunk_size,
-                    loss_impl=cfg.training.loss_impl)
+                    loss_impl=cfg.training.loss_impl,
+                    grad_clamp=cfg.training.rnnt_grad_clamp)

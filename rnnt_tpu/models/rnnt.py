@@ -38,6 +38,8 @@ class RNNTSpec:
     loss_chunk_size: int = 16
     # "chunked" (XLA remat path) or "pallas" (fused lattice kernel).
     loss_impl: str = "auto"  # auto | chunked | pallas
+    # > 0 clamps d(loss)/d(logits) (torchaudio rnnt_loss clamp semantics).
+    grad_clamp: float = -1.0
 
     @property
     def blank_idx(self) -> int:
@@ -105,10 +107,11 @@ def rnnt_loss_apply(params, state, batch: dict, spec: RNNTSpec, *,
         from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
         loss = transducer_loss_pallas(
             params["joint"], audio, text, batch["targets"], t_lens,
-            batch["target_lens"], spec.blank_idx)
+            batch["target_lens"], spec.blank_idx,
+            grad_clamp=spec.grad_clamp)
     else:
         loss = transducer_loss(
             params["joint"], audio, text, batch["targets"], t_lens,
             batch["target_lens"], spec.blank_idx,
-            chunk_size=spec.loss_chunk_size)
+            chunk_size=spec.loss_chunk_size, grad_clamp=spec.grad_clamp)
     return loss, new_state

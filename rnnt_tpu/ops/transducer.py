@@ -151,11 +151,36 @@ def lattice_nll(lp_blank, lp_label, t_lens, u_lens, mesh=None):
     return transducer_alpha_loss(lp_blank, lp_label, t_lens, u_lens)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def clamp_grads(x: jax.Array, clamp: float) -> jax.Array:
+    """Identity forward; backward clamps the cotangent to [-clamp, clamp].
+
+    The torchaudio rnnt_loss ``clamp`` option (the reference exposes it as
+    the ``rnnt_grad_clamp`` hyperparameter tuned by rnnt/optuna.py:13-17,
+    though its trainer never actually forwards it — clamp is hardcoded off
+    at rnnt/model.py:40).  Applied to the joint logits so d(loss)/d(logits)
+    is bounded."""
+    return x
+
+
+def _cg_fwd(x, clamp):
+    return x, None
+
+
+def _cg_bwd(clamp, _, g):
+    return (jnp.clip(g, -clamp, clamp),)
+
+
+clamp_grads.defvjp(_cg_fwd, _cg_bwd)
+
+
 def transducer_loss_from_logits(logits: jax.Array, targets: jax.Array,
                                 t_lens: jax.Array, u_lens: jax.Array,
                                 blank: int, reduction: str = "mean",
-                                mesh=None) -> jax.Array:
+                                mesh=None, grad_clamp: float = -1.0) -> jax.Array:
     """Loss from full (B, T, U+1, V) logits — the correctness oracle."""
+    if grad_clamp > 0:
+        logits = clamp_grads(logits, grad_clamp)
     lp_blank, lp_label = lattice_log_probs(logits, targets, u_lens, blank)
     losses = lattice_nll(lp_blank, lp_label, t_lens, u_lens, mesh=mesh)
     if reduction == "mean":
@@ -166,7 +191,7 @@ def transducer_loss_from_logits(logits: jax.Array, targets: jax.Array,
 
 
 def _joint_chunk_log_probs(joint_params, enc_chunk, text, targets_pad,
-                           u_mask, blank):
+                           u_mask, blank, grad_clamp=-1.0):
     """Joint + log-softmax + blank/label gather for a chunk of T frames.
 
     enc_chunk: (B, Tc, H) already side-projected; text: (B, U+1, H).
@@ -179,6 +204,8 @@ def _joint_chunk_log_probs(joint_params, enc_chunk, text, targets_pad,
     b = joint_params["out"]["b"].astype(jnp.float32)
     logits = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
     logits = logits.astype(jnp.float32)
+    if grad_clamp > 0:
+        logits = clamp_grads(logits, grad_clamp)
     denom = jax.nn.logsumexp(logits, axis=-1)
     lp_blank = logits[..., blank] - denom
     lp_label = jnp.take_along_axis(
@@ -187,17 +214,18 @@ def _joint_chunk_log_probs(joint_params, enc_chunk, text, targets_pad,
     return lp_blank, lp_label
 
 
-@partial(jax.checkpoint, static_argnums=(5,))
+@partial(jax.checkpoint, static_argnums=(5, 6))
 def _joint_chunk_log_probs_remat(joint_params, enc_chunk, text, targets_pad,
-                                 u_mask, blank):
+                                 u_mask, blank, grad_clamp=-1.0):
     return _joint_chunk_log_probs(joint_params, enc_chunk, text, targets_pad,
-                                  u_mask, blank)
+                                  u_mask, blank, grad_clamp)
 
 
 def transducer_loss(joint_params, audio: jax.Array, text: jax.Array,
                     targets: jax.Array, t_lens: jax.Array, u_lens: jax.Array,
                     blank: int, *, chunk_size: int = 32,
-                    reduction: str = "mean", mesh=None) -> jax.Array:
+                    reduction: str = "mean", mesh=None,
+                    grad_clamp: float = -1.0) -> jax.Array:
     """Memory-bounded fused joint + transducer loss (XLA path).
 
     audio: (B, T, H) encoder output; text: (B, U+1, H) predictor output
@@ -227,7 +255,8 @@ def transducer_loss(joint_params, audio: jax.Array, text: jax.Array,
 
     def body(_, enc_chunk):
         lpb, lpl = _joint_chunk_log_probs_remat(
-            joint_params, enc_chunk, text, targets_pad, u_mask, blank)
+            joint_params, enc_chunk, text, targets_pad, u_mask, blank,
+            grad_clamp)
         return None, (lpb, lpl)
 
     _, (lpb, lpl) = lax.scan(body, None, jnp.swapaxes(chunks, 0, 1))

@@ -62,10 +62,16 @@ def _interpret() -> bool:
 
 # ------------------------------- forward -------------------------------
 
-def _fwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref,
-                lse_ref, blank_ref, label_ref, *, blank_idx: int):
+def _fwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, blank1h_ref,
+                lse_ref, blank_ref, label_ref):
     """One (1, T_TILE, H) x (1, U_TILE, H) tile -> three (1, T_TILE, U_TILE)
-    outputs.  Logits tile lives only in VMEM."""
+    outputs.  Logits tile lives only in VMEM.
+
+    The blank column is selected by a (1, V) one-hot operand rather than a
+    baked-in index: under vocab (tensor-parallel) sharding each shard sees
+    only its V-slice of the one-hot, so non-owner shards contribute zero
+    and the cross-shard psum in parallel/partition.py recovers the value.
+    """
     # All math stays 3-D (T_TILE, U_TILE, ·) with the big dim on lanes —
     # Mosaic cannot relayout (T, U) lane vectors into per-row sublane
     # scalars, so reductions over V (lanes) land directly in the (T, U)
@@ -83,16 +89,15 @@ def _fwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref,
     m3 = jax.lax.broadcast_in_dim(m, logits.shape, (0, 1))
     lse_ref[0] = m + jnp.log(jnp.sum(jnp.exp(logits - m3), axis=-1))
 
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-    blank_ref[0] = jnp.sum(
-        jnp.where(col == blank_idx, logits, 0.0), axis=-1)
+    blank1h = blank1h_ref[:].astype(jnp.float32).reshape(1, 1, V)
+    blank_ref[0] = jnp.sum(logits * blank1h, axis=-1)
 
     onehot = onehot_ref[0].astype(jnp.float32)  # (U_TILE, V)
     label_ref[0] = jnp.sum(logits * onehot[None, :, :], axis=-1)
 
 
-def _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx: int, u_tile: int):
-    """enc (B,T,H), pred (B,U1,H), w (H,V), b (V,),
+def _fwd_pallas(enc, pred, w, b, label_onehot, blank_onehot, u_tile: int):
+    """enc (B,T,H), pred (B,U1,H), w (H,V), b (V,), blank_onehot (V,),
     label_onehot (B,U1,V) one-hot of the label leaving each lattice column.
     Returns (lse, blank_logit, label_logit), each (B, T, U1) f32.
     T and U1 must be multiples of the tiles (caller pads)."""
@@ -104,8 +109,10 @@ def _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx: int, u_tile: int):
     out_spec = pl.BlockSpec((1, T_TILE, u_tile),
                             lambda bb, i, j: (bb, i, j),
                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, w.shape[1]), lambda bb, i, j: (0, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, blank_idx=blank_idx),
+        _fwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, T_TILE, H), lambda bb, i, j: (bb, i, 0),
@@ -114,15 +121,15 @@ def _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx: int, u_tile: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, w.shape[1]), lambda bb, i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b.shape[0]), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
+            vec_spec,
             pl.BlockSpec((1, u_tile, w.shape[1]), lambda bb, i, j: (bb, j, 0),
                          memory_space=pltpu.VMEM),
+            vec_spec,
         ],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=out_shape,
         interpret=_interpret(),
-    )(enc, pred, w, b[None, :], label_onehot)
+    )(enc, pred, w, b[None, :], label_onehot, blank_onehot[None, :])
 
 
 # ------------------------------- backward -------------------------------
@@ -145,10 +152,11 @@ def _pick_v_chunk(V: int) -> int:
     return V
 
 
-def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
-                g_blank_ref, g_label_ref, g_lse_ref,
+def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, blank1h_ref,
+                lse_ref, g_blank_ref, g_label_ref, g_lse_ref,
                 denc_ref, dpred_ref, dw_ref, db_ref,
-                h_scr, dh_scr, dpred_acc, *, blank_idx: int, n_v: int):
+                h_scr, dh_scr, dpred_acc, *, n_v: int,
+                grad_clamp: float = -1.0):
     """Merged backward: one pass over the V chunks computes both the dh
     accumulation (for denc/dpred) and the dW/db slab accumulation — the
     joint logits for each chunk are materialized once, not twice.
@@ -198,10 +206,12 @@ def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
         logits_c = logits_c + b_ref[:].astype(jnp.float32).reshape(1, 1, chunk)
         p_c = jnp.exp(logits_c - b3(lse_ref[0]))
 
-        col = vc * chunk + jax.lax.broadcasted_iota(jnp.int32, shape_c, 2)
+        blank1h = blank1h_ref[:].astype(jnp.float32).reshape(1, 1, chunk)
         dl_c = (b3(g_lse_ref[0]) * p_c
-                + b3(g_blank_ref[0]) * (col == blank_idx).astype(jnp.float32)
+                + b3(g_blank_ref[0]) * blank1h
                 + b3(g_label_ref[0]) * onehot_ref[0].astype(jnp.float32)[None])
+        if grad_clamp > 0:  # d(loss)/d(logits) clamp (ops/transducer.py
+            dl_c = jnp.clip(dl_c, -grad_clamp, grad_clamp)  # clamp_grads)
 
         # dh addend in two H-halves under fori_loop: one (T,U,H/2) f32
         # buffer lives at a time instead of a full (T,U,H) one — the last
@@ -252,46 +262,80 @@ def _bwd_kernel(enc_ref, pred_ref, w_ref, b_ref, onehot_ref, lse_ref,
             dpred_ref[0] = dpred_acc[:]
 
 
-def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
-                blank_idx: int, u_tile: int):
+def _bwd_vmem_need(t_tile, u_tile, U1, H, V, chunk):
+    """Scoped-VMEM estimate (bytes) for one backward grid step: scratch
+    (h3 bf16 + dh f32 + dpred acc) + resident dw/db slabs + double-buffered
+    in/out blocks.  Used to size the compiler's scoped-vmem limit and to
+    shrink the T tile for very large H*u_tile working sets — the fixed
+    defaults OOM'd at scaled (H=2048) and long-form (u_tile=128) shapes."""
+    scratch = 2 * t_tile * u_tile * H + 4 * t_tile * u_tile * H + 4 * U1 * H
+    slabs = 4 * V * H + 4 * V
+    blocks_in = 2 * (2 * t_tile * H + 2 * u_tile * H + 2 * H * chunk
+                     + 2 * u_tile * chunk + 4 * chunk
+                     + 4 * 4 * t_tile * u_tile)
+    blocks_out = 2 * 4 * t_tile * H + 4 * U1 * H
+    return scratch + slabs + blocks_in + blocks_out
+
+
+def _bwd_pallas(enc, pred, w, b, label_onehot, blank_onehot, lse,
+                g_blank, g_label, g_lse, u_tile: int,
+                grad_clamp: float = -1.0):
     B, T, H = enc.shape
     U1 = pred.shape[1]
     V = w.shape[1]
     chunk = _pick_v_chunk(V)
     n_v = V // chunk
-    grid = (B, T // T_TILE, U1 // u_tile, n_v + 1)
 
-    g_spec = pl.BlockSpec((1, T_TILE, u_tile),
+    # Adaptive T tile: the dh/h3 scratch scales with t*u*H; drop to 8 when
+    # 16 would push the whole working set past ~48 MB (v5e VMEM is 128 MB;
+    # past ~half, the pipeline double-buffers stop fitting comfortably).
+    t_tile = T_TILE
+    while (t_tile > 8
+           and _bwd_vmem_need(t_tile, u_tile, U1, H, V, chunk) > 48 * 2**20):
+        t_tile //= 2
+    # 1.6x margin over the block/scratch estimate: Mosaic's own stack
+    # temporaries (dot accumulators, fori_loop halves) measured ~25-30%
+    # beyond the estimate at long-form shapes.  This only raises the
+    # compiler's scoped-vmem ceiling, not actual allocation.
+    vmem_limit = min(
+        max(int(_bwd_vmem_need(t_tile, u_tile, U1, H, V, chunk) * 1.6),
+            20 * 2**20),
+        100 * 2**20)
+    grid = (B, T // t_tile, U1 // u_tile, n_v + 1)
+
+    g_spec = pl.BlockSpec((1, t_tile, u_tile),
                           lambda bb, i, j, vc: (bb, i, j),
                           memory_space=pltpu.VMEM)
 
     def vclamp(vc):
         return jnp.minimum(vc, n_v - 1)
 
+    vchunk_spec = pl.BlockSpec((1, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
+                               memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, T_TILE, H), lambda bb, i, j, vc: (bb, i, 0),
+        pl.BlockSpec((1, t_tile, H), lambda bb, i, j, vc: (bb, i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, u_tile, H), lambda bb, i, j, vc: (bb, j, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((H, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, chunk), lambda bb, i, j, vc: (0, vclamp(vc)),
-                     memory_space=pltpu.VMEM),
+        vchunk_spec,
         pl.BlockSpec((1, u_tile, chunk),
                      lambda bb, i, j, vc: (bb, j, vclamp(vc)),
                      memory_space=pltpu.VMEM),
+        vchunk_spec,
         g_spec,  # lse residual
         g_spec, g_spec, g_spec,
     ]
-    args = (enc, pred, w, b[None, :], label_onehot, lse, g_blank, g_label,
-            g_lse)
+    args = (enc, pred, w, b[None, :], label_onehot, blank_onehot[None, :],
+            lse, g_blank, g_label, g_lse)
 
     denc, dpred, dw_slabs, db_slabs = pl.pallas_call(
-        functools.partial(_bwd_kernel, blank_idx=blank_idx, n_v=n_v),
+        functools.partial(_bwd_kernel, n_v=n_v, grad_clamp=grad_clamp),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, T_TILE, H), lambda bb, i, j, vc: (bb, i, 0),
+            pl.BlockSpec((1, t_tile, H), lambda bb, i, j, vc: (bb, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, U1, H), lambda bb, i, j, vc: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -307,12 +351,12 @@ def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
             jax.ShapeDtypeStruct((n_v, 1, chunk), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((T_TILE, u_tile, H), enc.dtype),      # h3
-            pltpu.VMEM((T_TILE, u_tile, H), jnp.float32),    # dh accumulator
+            pltpu.VMEM((t_tile, u_tile, H), enc.dtype),      # h3
+            pltpu.VMEM((t_tile, u_tile, H), jnp.float32),    # dh accumulator
             pltpu.VMEM((U1, H), jnp.float32),                # dpred accumulator
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=20 * 1024 * 1024),
+            vmem_limit_bytes=vmem_limit),
         interpret=_interpret(),
     )(*args)
 
@@ -324,54 +368,59 @@ def _bwd_pallas(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse,
 # --------------------------- custom_vjp wrapper ---------------------------
 
 # GSPMD partitioning (rnnt_tpu/parallel/partition.py): batch-parallel over
-# B; the weight grads dW/db are per-shard partial sums all-reduced over the
-# batch mesh axis inside the partitioned body.  custom_vjp stays OUTSIDE
-# (custom_partitioning has no differentiation rule).
-from rnnt_tpu.parallel.partition import batch_partitioned  # noqa: E402
+# B and vocab-parallel over w's V axis (tensor parallelism) — per-shard
+# partial lse/blank/label are logsumexp-merged / psum'd over the model
+# axis; dW/db stay V-sharded and are psum'd over the batch axis only.
+# custom_vjp stays OUTSIDE (custom_partitioning has no differentiation rule).
+from rnnt_tpu.parallel.partition import (  # noqa: E402
+    fused_joint_bwd_partitioned,
+    fused_joint_fwd_partitioned,
+)
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cp(blank_idx: int, u_tile: int):
-    def fn(enc, pred, w, b, label_onehot):
-        return _fwd_pallas(enc, pred, w, b, label_onehot, blank_idx, u_tile)
+def _fwd_cp(u_tile: int):
+    def fn(enc, pred, w, b, label_onehot, blank_onehot):
+        return _fwd_pallas(enc, pred, w, b, label_onehot, blank_onehot,
+                           u_tile)
 
-    return batch_partitioned(
-        fn, "bbrrb", "bbb",
-        "b t h, b u h, h v, v, b u v -> b t u, b t u, b t u")
+    return fused_joint_fwd_partitioned(fn)
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cp(blank_idx: int, u_tile: int):
-    def fn(enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse):
-        return _bwd_pallas(enc, pred, w, b, label_onehot, lse,
-                           g_blank, g_label, g_lse, blank_idx, u_tile)
+def _bwd_cp(u_tile: int, grad_clamp: float = -1.0):
+    def fn(enc, pred, w, b, label_onehot, blank_onehot,
+           lse, g_blank, g_label, g_lse):
+        return _bwd_pallas(enc, pred, w, b, label_onehot, blank_onehot, lse,
+                           g_blank, g_label, g_lse, u_tile, grad_clamp)
 
-    return batch_partitioned(
-        fn, "bbrrbbbbb", "bbss",
-        "b t h, b u h, h v, v, b u v, b t u, b t u, b t u, b t u "
-        "-> b t h, b u h, h v, q v")
+    return fused_joint_bwd_partitioned(fn)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def fused_joint_outputs(enc, pred, w, b, label_onehot, blank_idx, u_tile):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_joint_outputs(enc, pred, w, b, label_onehot, blank_onehot, u_tile,
+                        grad_clamp=-1.0):
     """(lse, blank_logit, label_logit) over the padded lattice — all
-    (B, T, U1) f32.  T % T_TILE == 0 and U1 % u_tile == 0 required."""
-    return _fwd_cp(blank_idx, u_tile)(enc, pred, w, b, label_onehot)
+    (B, T, U1) f32.  T % T_TILE == 0 and U1 % u_tile == 0 required.
+    grad_clamp > 0 bounds d(loss)/d(logits) in the backward (torchaudio
+    rnnt_loss clamp semantics)."""
+    return _fwd_cp(u_tile)(enc, pred, w, b, label_onehot, blank_onehot)
 
 
-def _fjo_fwd(enc, pred, w, b, label_onehot, blank_idx, u_tile):
-    outs = _fwd_cp(blank_idx, u_tile)(enc, pred, w, b, label_onehot)
+def _fjo_fwd(enc, pred, w, b, label_onehot, blank_onehot, u_tile, grad_clamp):
+    outs = _fwd_cp(u_tile)(enc, pred, w, b, label_onehot, blank_onehot)
     lse = outs[0]
-    return outs, (enc, pred, w, b, label_onehot, lse)
+    return outs, (enc, pred, w, b, label_onehot, blank_onehot, lse)
 
 
-def _fjo_bwd(blank_idx, u_tile, residuals, gs):
-    enc, pred, w, b, label_onehot, lse = residuals
+def _fjo_bwd(u_tile, grad_clamp, residuals, gs):
+    enc, pred, w, b, label_onehot, blank_onehot, lse = residuals
     g_lse, g_blank, g_label = gs
-    denc, dpred, dw, db = _bwd_cp(blank_idx, u_tile)(
-        enc, pred, w, b, label_onehot, lse, g_blank, g_label, g_lse)
+    denc, dpred, dw, db = _bwd_cp(u_tile, grad_clamp)(
+        enc, pred, w, b, label_onehot, blank_onehot, lse,
+        g_blank, g_label, g_lse)
     return (denc.astype(enc.dtype), dpred.astype(pred.dtype),
-            dw.astype(w.dtype), db[0].astype(b.dtype), None)
+            dw.astype(w.dtype), db[0].astype(b.dtype), None, None)
 
 
 fused_joint_outputs.defvjp(_fjo_fwd, _fjo_bwd)
@@ -380,7 +429,8 @@ fused_joint_outputs.defvjp(_fjo_fwd, _fjo_bwd)
 # ------------------------------ public loss ------------------------------
 
 def transducer_loss_pallas(joint_params, audio, text, targets, t_lens, u_lens,
-                           blank: int, *, reduction: str = "mean", mesh=None):
+                           blank: int, *, reduction: str = "mean", mesh=None,
+                           grad_clamp: float = -1.0):
     """Fused-joint transducer loss (Pallas fast path).
 
     Same contract as ``rnnt_tpu.ops.transducer.transducer_loss``; requires
@@ -404,10 +454,11 @@ def transducer_loss_pallas(joint_params, audio, text, targets, t_lens, u_lens,
         ((0, 0), (0, U_pad - U1))).astype(jnp.int32)
     V = w.shape[1]
     label_onehot = jax.nn.one_hot(targets_pad, V, dtype=audio_p.dtype)
+    blank_onehot = jax.nn.one_hot(blank, V, dtype=audio_p.dtype)
 
     lse, blank_logit, label_logit = fused_joint_outputs(
         audio_p, text_p.astype(audio_p.dtype), w.astype(audio_p.dtype),
-        b, label_onehot, blank, u_tile)
+        b, label_onehot, blank_onehot, u_tile, grad_clamp)
 
     lse = lse[:, :T, :U1]
     lp_blank = blank_logit[:, :T, :U1] - lse

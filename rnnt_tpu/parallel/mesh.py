@@ -70,7 +70,11 @@ def _spec_for(path_parts: list[str], leaf, mesh: Mesh) -> P:
     if mesh.shape.get("model", 1) > 1:
         for keys, spec in _TP_RULES:
             if all(k in path_parts for k in keys):
-                # Only shard if the dimension divides evenly.
+                # Only shard rank-matching leaves whose dims divide evenly
+                # (opt-state scalars like MultiSteps counters share the
+                # param path but must stay replicated).
+                if len(leaf.shape) != len(spec):
+                    continue
                 dims = [d for d in spec if d is not None]
                 ok = True
                 for axis_i, d in enumerate(spec):
@@ -83,7 +87,11 @@ def _spec_for(path_parts: list[str], leaf, mesh: Mesh) -> P:
 
 def param_shardings(mesh: Mesh, params) -> dict:
     """NamedSharding pytree for a param/opt-state pytree: replicated by
-    default, tensor-parallel rules applied when the model axis is > 1."""
+    default, tensor-parallel rules applied when the model axis is > 1.
+
+    Works on optimizer states too: AdamW's mu/nu subtrees repeat the param
+    paths, so model-sharded weights get model-sharded moments (the TP
+    memory win extends to the optimizer)."""
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
             mesh, _spec_for(_path_strings(path), leaf, mesh)),

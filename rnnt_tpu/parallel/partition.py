@@ -89,3 +89,120 @@ def batch_partitioned(fn, in_kinds: str, out_kinds: str, rule: str):
     f.def_partition(infer_sharding_from_operands=infer, partition=partition,
                     sharding_rule=rule)
     return f
+
+
+# ------------------- fused joint: batch x vocab partitioning -------------------
+#
+# The fused joint+loss kernels (ops/transducer_pallas.py) additionally
+# partition over the joint output weight's vocab axis — the tensor-parallel
+# axis of scaled_tp.yaml.  Per shard, the kernel computes partial
+# lse/blank/label over its V-slice (the blank/label one-hots are V-sharded,
+# so non-owner shards contribute zeros); the combines below run on cheap
+# (B, T, U1) scalars:
+#   lse    = logsumexp-merge over the model axis (pmax + psum of exp)
+#   blank  = psum over model        label = psum over model
+#   denc/dpred = psum over model    dW/db = psum over batch, stay V-sharded
+# Keeping dW V-sharded is the actual TP win: the (H, V) weight, its
+# gradient, and its AdamW moments never materialize replicated.
+
+def _dim_axis(arg_infos, idx, dim):
+    spec = getattr(arg_infos[idx].sharding, "spec", None)
+    if spec is None or len(spec) <= dim:
+        return None
+    return spec[dim]
+
+
+def _fused_shardings(mesh, b_ax, v_ax, kinds, infos):
+    """kinds: 'b' = (B, x, x) batch-sharded; 'r' = replicated;
+    'v' = last dim vocab-sharded; 'bv' = batch + last-dim vocab."""
+    out = []
+    for k, info in zip(kinds, infos):
+        rank = len(info.shape)
+        spec = [None] * rank
+        if "b" in k and b_ax is not None:
+            spec[0] = b_ax
+        if "v" in k and v_ax is not None:
+            spec[-1] = v_ax
+        out.append(NamedSharding(mesh, P(*spec)))
+    return tuple(out)
+
+
+def _logsumexp_merge(lse, ax):
+    m = jax.lax.pmax(lse, ax)
+    return m + jax.numpy.log(jax.lax.psum(jax.numpy.exp(lse - m), ax))
+
+
+_FWD_IN_KINDS = ("b", "b", "v", "v", "bv", "v")
+_FWD_RULE = "b t h, b u h, h v, v, b u v, v -> b t u, b t u, b t u"
+_BWD_IN_KINDS = _FWD_IN_KINDS + ("b", "b", "b", "b")
+_BWD_OUT_KINDS = ("b", "b", "v", "v")
+_BWD_RULE = ("b t h, b u h, h v, v, b u v, v, b t u, b t u, b t u, b t u "
+             "-> b t h, b u h, h v, q v")
+
+
+def fused_joint_fwd_partitioned(fn):
+    """fn(enc, pred, w, b, label_onehot, blank_onehot) ->
+    (lse, blank_logit, label_logit), partitioned over batch and vocab."""
+    f = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        b_ax = _dim_axis(arg_infos, 0, 0)
+        return _fused_shardings(mesh, b_ax, None, ("b", "b", "b"),
+                                result_infos)
+
+    def partition(mesh, arg_infos, result_infos):
+        b_ax = _dim_axis(arg_infos, 0, 0)
+        v_ax = _dim_axis(arg_infos, 2, 1)  # w's vocab axis
+
+        def lower(*args):
+            lse, blank, label = fn(*args)
+            if v_ax is not None:
+                lse = _logsumexp_merge(lse, v_ax)
+                blank = jax.lax.psum(blank, v_ax)
+                label = jax.lax.psum(label, v_ax)
+            return lse, blank, label
+
+        return (mesh, lower,
+                _fused_shardings(mesh, b_ax, None, ("b", "b", "b"),
+                                 result_infos),
+                _fused_shardings(mesh, b_ax, v_ax, _FWD_IN_KINDS, arg_infos))
+
+    f.def_partition(infer_sharding_from_operands=infer, partition=partition,
+                    sharding_rule=_FWD_RULE)
+    return f
+
+
+def fused_joint_bwd_partitioned(fn):
+    """fn(enc, pred, w, b, label_onehot, blank_onehot, lse, g_blank,
+    g_label, g_lse) -> (denc, dpred, dw, db), partitioned over batch and
+    vocab; dw/db come back vocab-sharded."""
+    f = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        b_ax = _dim_axis(arg_infos, 0, 0)
+        v_ax = _dim_axis(arg_infos, 2, 1)
+        return _fused_shardings(mesh, b_ax, v_ax, _BWD_OUT_KINDS,
+                                result_infos)
+
+    def partition(mesh, arg_infos, result_infos):
+        b_ax = _dim_axis(arg_infos, 0, 0)
+        v_ax = _dim_axis(arg_infos, 2, 1)
+
+        def lower(*args):
+            denc, dpred, dw, db = fn(*args)
+            if v_ax is not None:
+                denc = jax.lax.psum(denc, v_ax)
+                dpred = jax.lax.psum(dpred, v_ax)
+            if b_ax is not None:
+                dw = jax.lax.psum(dw, b_ax)
+                db = jax.lax.psum(db, b_ax)
+            return denc, dpred, dw, db
+
+        return (mesh, lower,
+                _fused_shardings(mesh, b_ax, v_ax, _BWD_OUT_KINDS,
+                                 result_infos),
+                _fused_shardings(mesh, b_ax, v_ax, _BWD_IN_KINDS, arg_infos))
+
+    f.def_partition(infer_sharding_from_operands=infer, partition=partition,
+                    sharding_rule=_BWD_RULE)
+    return f

@@ -206,11 +206,11 @@ def train(cfg: Config, *, output_base: str = "experiments",
     model_state = jax.device_put(model_state, param_shardings(mesh, model_state))
     # Explicit shardings: without them jit leaves scalar opt leaves on a
     # single device, which conflicts with committed restored arrays on
-    # resume.  (TP refinement: mu/nu of model-sharded weights are
-    # replicated here; correct, slightly memory-suboptimal.)
+    # resume.  AdamW moments of model-sharded weights shard like their
+    # params (param_shardings matches the repeated param paths inside the
+    # opt-state tree; scalars stay replicated via the rank guard).
     opt_shapes = jax.eval_shape(tx.init, params)
-    opt_shardings = jax.tree.map(
-        lambda _: NamedSharding(mesh, P()), opt_shapes)
+    opt_shardings = param_shardings(mesh, opt_shapes)
     opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
     state = TrainState(params, opt_state, model_state, jnp.zeros((), jnp.int32))
 

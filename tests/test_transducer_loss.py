@@ -189,3 +189,62 @@ def test_chunked_fused_loss_matches_naive(chunk_size):
     flat_f, _ = jax.flatten_util.ravel_pytree(gf)
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_n),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_grad_clamp_bounds_logit_grads():
+    """grad_clamp > 0 bounds d(loss)/d(logits) (torchaudio rnnt_loss clamp
+    semantics; the reference tunes rnnt_grad_clamp in optuna.py:13-17)."""
+    from rnnt_tpu.ops.transducer import transducer_loss_from_logits
+
+    rng = np.random.RandomState(0)
+    B, T, U1, V = 2, 6, 4, 8
+    logits = jnp.asarray(rng.randn(B, T, U1, V).astype(np.float32) * 3)
+    targets = jnp.asarray(rng.randint(0, V - 1, (B, U1 - 1)), jnp.int32)
+    t_lens = jnp.array([6, 5], jnp.int32)
+    u_lens = jnp.array([3, 2], jnp.int32)
+
+    clamp = 1e-3
+    g_unclamped = jax.grad(lambda l: transducer_loss_from_logits(
+        l, targets, t_lens, u_lens, blank=V - 1))(logits)
+    g_clamped = jax.grad(lambda l: transducer_loss_from_logits(
+        l, targets, t_lens, u_lens, blank=V - 1, grad_clamp=clamp))(logits)
+
+    assert float(jnp.max(jnp.abs(g_unclamped))) > clamp  # clamp is active
+    assert float(jnp.max(jnp.abs(g_clamped))) <= clamp + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(g_clamped),
+        np.clip(np.asarray(g_unclamped), -clamp, clamp), atol=1e-7)
+
+
+def test_grad_clamp_chunked_matches_pallas():
+    """With the clamp active, the chunked-XLA and fused-Pallas paths must
+    still produce identical parameter gradients."""
+    from rnnt_tpu.models.joint import JointSpec, joint_init
+    from rnnt_tpu.ops.transducer import transducer_loss
+    from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
+
+    rng = np.random.RandomState(1)
+    B, T, U, H, V = 2, 12, 5, 16, 8
+    spec = JointSpec(-1, -1, H, V)
+    params = joint_init(jax.random.PRNGKey(0), spec)
+    audio = jnp.asarray(rng.randn(B, T, H).astype(np.float32))
+    text = jnp.asarray(rng.randn(B, U + 1, H).astype(np.float32))
+    targets = jnp.asarray(rng.randint(0, V - 1, (B, U)), jnp.int32)
+    t_lens = jnp.array([12, 9], jnp.int32)
+    u_lens = jnp.array([5, 3], jnp.int32)
+    clamp = 1e-3
+
+    def loss_chunked(p, a):
+        return transducer_loss(p, a, text, targets, t_lens, u_lens,
+                               blank=V - 1, chunk_size=4, grad_clamp=clamp)
+
+    def loss_pallas(p, a):
+        return transducer_loss_pallas(p, a, text, targets, t_lens, u_lens,
+                                      blank=V - 1, grad_clamp=clamp)
+
+    (lc, gc), (lp, gp) = (jax.value_and_grad(f, argnums=(0, 1))(params, audio)
+                          for f in (loss_chunked, loss_pallas))
+    np.testing.assert_allclose(float(lc), float(lp), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
