@@ -31,8 +31,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rnnt_tpu.ops.transducer import NEG
 
-B_TILE = 8
+B_TILE = 8       # minimum batch tile (one vreg of sublanes)
 T_CHUNK = 128
+
+
+def _pick_b_tile(b_padded: int) -> int:
+    """Widest batch tile dividing the padded batch (<= 32).  The DP row
+    ops are instruction-latency-bound on (b_tile, 128) vregs: a (32, 128)
+    op is 4 vregs issued back-to-back but costs far less than 4x one vreg,
+    while quartering the sequential row-iteration count — measured the
+    difference between the DP being ~6 ms vs ~2 ms of a B=32 train step."""
+    for cand in (32, 16, 8):
+        if b_padded % cand == 0:
+            return cand
+    return 8
+
+
+def _dp_vmem_limit(b_tile: int, U: int, n_lattice_bufs: int) -> int:
+    """Scoped-vmem ceiling for the DP kernels: lattice blocks are
+    (b_tile, T_CHUNK, U) f32, double-buffered, plus small scratch."""
+    need = n_lattice_bufs * 2 * 4 * b_tile * T_CHUNK * U + 8 * 4 * b_tile * U
+    return min(max(int(need * 1.6), 20 * 2**20), 100 * 2**20)
 
 
 def _interpret() -> bool:
@@ -40,11 +59,16 @@ def _interpret() -> bool:
 
 
 def _lse(a, b):
+    # No log-zero guards needed: NEG is finite (-1e30), so when both inputs
+    # are log-zero m = a (or b), one exp argument is exactly 0, s >= 1, and
+    # the result is NEG + log(s) <= NEG + log2 — still effectively log-zero
+    # downstream (exp of it flushes to 0).  Accumulated A-sums stay well
+    # inside f32 range (<= 2^7 * |NEG| ~ 1e32 << 3.4e38).  The guarded
+    # version (two extra selects + a floor) measured ~15% of the whole DP
+    # kernel's time; the scan is instruction-latency-bound on (8, 128)
+    # vregs, so every op in the inner loop counts.
     m = jnp.maximum(a, b)
-    m_safe = jnp.where(m <= NEG / 2, 0.0, m)
-    s = jnp.exp(a - m_safe) + jnp.exp(b - m_safe)
-    out = m_safe + jnp.log(s + 1e-30)
-    return jnp.where(m <= NEG / 2, NEG, out)
+    return m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
 
 
 def _lane_iota(shape):
@@ -97,15 +121,16 @@ def _alpha_kernel(lpb_ref, lpl_ref, tl_ref, ul_ref,
                   alphas_ref, llmask_ref, alpha_carry, ll_acc, *,
                   n_t: int, U: int):
     i = pl.program_id(1)
-    lane = _lane_iota((B_TILE, U))
+    b_tile = tl_ref.shape[0]
+    lane = _lane_iota((b_tile, U))
 
     @pl.when(i == 0)
     def _():
         # alpha[0, 0] = 0; realized by seeding the carry as "row -1" such
         # that the first row's c = seed works out: we instead seed the
         # first row directly below.
-        alpha_carry[:] = jnp.full((B_TILE, U), NEG)
-        ll_acc[:] = jnp.zeros((B_TILE, U), jnp.float32)
+        alpha_carry[:] = jnp.full((b_tile, U), NEG)
+        ll_acc[:] = jnp.zeros((b_tile, U), jnp.float32)
 
     t_lens = tl_ref[:]  # (B_TILE, U) broadcast int32
     u_lens = ul_ref[:]
@@ -144,10 +169,11 @@ def _alpha_kernel(lpb_ref, lpl_ref, tl_ref, ul_ref,
 
 def _alpha_pallas(lpb, lpl, t_lens_b, u_lens_b):
     B, T, U = lpb.shape
-    grid = (B // B_TILE, T // T_CHUNK)
-    lat_spec = pl.BlockSpec((B_TILE, T_CHUNK, U), lambda bb, i: (bb, i, 0),
+    b_tile = _pick_b_tile(B)
+    grid = (B // b_tile, T // T_CHUNK)
+    lat_spec = pl.BlockSpec((b_tile, T_CHUNK, U), lambda bb, i: (bb, i, 0),
                             memory_space=pltpu.VMEM)
-    len_spec = pl.BlockSpec((B_TILE, U), lambda bb, i: (bb, 0),
+    len_spec = pl.BlockSpec((b_tile, U), lambda bb, i: (bb, 0),
                             memory_space=pltpu.VMEM)
     alphas, llmask = pl.pallas_call(
         functools.partial(_alpha_kernel, n_t=T // T_CHUNK, U=U),
@@ -156,11 +182,170 @@ def _alpha_pallas(lpb, lpl, t_lens_b, u_lens_b):
         out_specs=[lat_spec, len_spec],
         out_shape=[jax.ShapeDtypeStruct((B, T, U), jnp.float32),
                    jax.ShapeDtypeStruct((B, U), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((B_TILE, U), jnp.float32),
-                        pltpu.VMEM((B_TILE, U), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_tile, U), jnp.float32),
+                        pltpu.VMEM((b_tile, U), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_dp_vmem_limit(b_tile, U, 3)),
         interpret=_interpret(),
     )(lpb, lpl, t_lens_b, u_lens_b)
     return alphas, llmask
+
+
+# --------------------- chain (T-sharded) variants ---------------------
+#
+# Building blocks for the sequence-parallel lattice (ops/lattice_tshard.py):
+# the same recursions, but taking an explicit alpha/beta carry row in and
+# returning the final carry out, with a per-shard global-T offset — so a
+# chain of devices, each holding a T-shard, can run the DP end to end by
+# passing (B, U) boundary rows over ICI (the CP analog for transducers,
+# SURVEY.md §5: "shard T across chips with ICI exchange of alpha-wavefront
+# boundaries").
+
+def _alpha_chain_kernel(lpb_ref, lpl_ref, tl_ref, ul_ref, t0_ref,
+                        carry_in_ref, alphas_ref, llmask_ref, carry_out_ref,
+                        alpha_carry, ll_acc, *, n_t: int, U: int):
+    i = pl.program_id(1)
+    b_tile = tl_ref.shape[0]
+    lane = _lane_iota((b_tile, U))
+
+    @pl.when(i == 0)
+    def _():
+        alpha_carry[:] = carry_in_ref[:]
+        ll_acc[:] = jnp.zeros((b_tile, U), jnp.float32)
+
+    t_lens = tl_ref[:]
+    u_lens = ul_ref[:]
+    t0 = t0_ref[:]  # (b_tile, U) global row offset of this shard
+
+    def row(r, _):
+        t = t0 + i * T_CHUNK + r  # global row index, (b_tile, U) int32
+        lpb_row = lpb_ref[:, r, :]
+        lpl_row = lpl_ref[:, r, :]
+        prev = alpha_carry[:]
+
+        c_first = jnp.where(lane == 0, 0.0, NEG)
+        c = jnp.where(t == 0, c_first, prev)
+
+        e_shifted = pltpu.roll(lpl_row, 1, axis=1)
+        e_shifted = jnp.where(lane < 1, NEG, e_shifted)
+        alpha_row = _prefix_row_scan(c, e_shifted, U)
+
+        alphas_ref[:, r, :] = alpha_row
+        hit = (t == t_lens - 1) & (lane == u_lens)
+        ll_acc[:] += jnp.where(hit, alpha_row + lpb_row, 0.0)
+        alpha_carry[:] = alpha_row + lpb_row
+        return _
+
+    jax.lax.fori_loop(0, T_CHUNK, row, 0)
+
+    @pl.when(i == n_t - 1)
+    def _():
+        llmask_ref[:] = ll_acc[:]
+        carry_out_ref[:] = alpha_carry[:]
+
+
+def _alpha_chain_pallas(lpb, lpl, t_lens_b, u_lens_b, t0_b, carry_in):
+    """Local T-shard alpha pass.  Returns (alphas, llmask, carry_out)."""
+    B, T, U = lpb.shape
+    b_tile = _pick_b_tile(B)
+    grid = (B // b_tile, T // T_CHUNK)
+    lat_spec = pl.BlockSpec((b_tile, T_CHUNK, U), lambda bb, i: (bb, i, 0),
+                            memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((b_tile, U), lambda bb, i: (bb, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_alpha_chain_kernel, n_t=T // T_CHUNK, U=U),
+        grid=grid,
+        in_specs=[lat_spec, lat_spec, len_spec, len_spec, len_spec, len_spec],
+        out_specs=[lat_spec, len_spec, len_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, T, U), jnp.float32),
+                   jax.ShapeDtypeStruct((B, U), jnp.float32),
+                   jax.ShapeDtypeStruct((B, U), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_tile, U), jnp.float32),
+                        pltpu.VMEM((b_tile, U), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_dp_vmem_limit(b_tile, U, 3)),
+        interpret=_interpret(),
+    )(lpb, lpl, t_lens_b, u_lens_b, t0_b, carry_in)
+
+
+def _beta_chain_kernel(lpb_ref, lpl_ref, alphas_ref, tl_ref, ul_ref, ll_ref,
+                       g_ref, t0_ref, carry_in_ref,
+                       glpb_ref, glpl_ref, carry_out_ref, beta_carry, *,
+                       n_t: int, U: int):
+    i = pl.program_id(1)  # ascending; blocks index-mapped descending
+    b_tile = tl_ref.shape[0]
+    lane = _lane_iota((b_tile, U))
+    t_lens = tl_ref[:]
+    u_lens = ul_ref[:]
+    ll = ll_ref[:]
+    g = g_ref[:]
+    t0 = t0_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        beta_carry[:] = carry_in_ref[:]
+
+    seed = jnp.where(lane == u_lens, 0.0, NEG)
+
+    def row(r_, _):
+        r = T_CHUNK - 1 - r_
+        t = t0 + (n_t - 1 - i) * T_CHUNK + r
+        lpb_row = lpb_ref[:, r, :]
+        lpl_row = lpl_ref[:, r, :]
+        alpha_row = alphas_ref[:, r, :]
+
+        beta_next = jnp.where(t == t_lens - 1, seed, beta_carry[:])
+
+        d = lpb_row + beta_next
+        beta_row = _suffix_row_scan(d, lpl_row, U)
+
+        valid = t < t_lens
+        glpb_ref[:, r, :] = -g * jnp.exp(jnp.where(
+            valid, alpha_row + lpb_row + beta_next - ll, NEG))
+        beta_up = pltpu.roll(beta_row, U - 1, axis=1)  # == roll by -1
+        beta_up = jnp.where(lane >= U - 1, NEG, beta_up)
+        glpl_ref[:, r, :] = -g * jnp.exp(jnp.where(
+            valid, alpha_row + lpl_row + beta_up - ll, NEG))
+
+        beta_carry[:] = beta_row
+        return _
+
+    jax.lax.fori_loop(0, T_CHUNK, row, 0)
+
+    @pl.when(i == n_t - 1)
+    def _():
+        carry_out_ref[:] = beta_carry[:]
+
+
+def _beta_chain_pallas(lpb, lpl, alphas, t_lens_b, u_lens_b, ll_b, g_b,
+                       t0_b, carry_in):
+    """Local T-shard beta pass (descending).  Returns
+    (glpb, glpl, carry_out) where carry_out is beta at this shard's first
+    row — the previous shard's beta_next."""
+    B, T, U = lpb.shape
+    b_tile = _pick_b_tile(B)
+    n_t = T // T_CHUNK
+    grid = (B // b_tile, n_t)
+    lat_desc = pl.BlockSpec((b_tile, T_CHUNK, U),
+                            lambda bb, i: (bb, n_t - 1 - i, 0),
+                            memory_space=pltpu.VMEM)
+    len_spec = pl.BlockSpec((b_tile, U), lambda bb, i: (bb, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_beta_chain_kernel, n_t=n_t, U=U),
+        grid=grid,
+        in_specs=[lat_desc, lat_desc, lat_desc, len_spec, len_spec,
+                  len_spec, len_spec, len_spec, len_spec],
+        out_specs=[lat_desc, lat_desc, len_spec],
+        out_shape=[jax.ShapeDtypeStruct((B, T, U), jnp.float32),
+                   jax.ShapeDtypeStruct((B, T, U), jnp.float32),
+                   jax.ShapeDtypeStruct((B, U), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_tile, U), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_dp_vmem_limit(b_tile, U, 5)),
+        interpret=_interpret(),
+    )(lpb, lpl, alphas, t_lens_b, u_lens_b, ll_b, g_b, t0_b, carry_in)
 
 
 # ------------------------------- backward -------------------------------
@@ -168,7 +353,8 @@ def _alpha_pallas(lpb, lpl, t_lens_b, u_lens_b):
 def _beta_kernel(lpb_ref, lpl_ref, alphas_ref, tl_ref, ul_ref, ll_ref,
                  g_ref, glpb_ref, glpl_ref, beta_carry, *, n_t: int, U: int):
     i = pl.program_id(1)  # ascending; blocks are index-mapped descending
-    lane = _lane_iota((B_TILE, U))
+    b_tile = tl_ref.shape[0]
+    lane = _lane_iota((b_tile, U))
     t_lens = tl_ref[:]
     u_lens = ul_ref[:]
     ll = ll_ref[:]
@@ -176,7 +362,7 @@ def _beta_kernel(lpb_ref, lpl_ref, alphas_ref, tl_ref, ul_ref, ll_ref,
 
     @pl.when(i == 0)
     def _():
-        beta_carry[:] = jnp.full((B_TILE, U), NEG)
+        beta_carry[:] = jnp.full((b_tile, U), NEG)
 
     seed = jnp.where(lane == u_lens, 0.0, NEG)
 
@@ -210,13 +396,14 @@ def _beta_kernel(lpb_ref, lpl_ref, alphas_ref, tl_ref, ul_ref, ll_ref,
 
 def _beta_pallas(lpb, lpl, alphas, t_lens_b, u_lens_b, ll_b, g_b):
     B, T, U = lpb.shape
+    b_tile = _pick_b_tile(B)
     n_t = T // T_CHUNK
-    grid = (B // B_TILE, n_t)
+    grid = (B // b_tile, n_t)
     # T blocks visited in DESCENDING order.
-    lat_desc = pl.BlockSpec((B_TILE, T_CHUNK, U),
+    lat_desc = pl.BlockSpec((b_tile, T_CHUNK, U),
                             lambda bb, i: (bb, n_t - 1 - i, 0),
                             memory_space=pltpu.VMEM)
-    len_spec = pl.BlockSpec((B_TILE, U), lambda bb, i: (bb, 0),
+    len_spec = pl.BlockSpec((b_tile, U), lambda bb, i: (bb, 0),
                             memory_space=pltpu.VMEM)
     glpb, glpl = pl.pallas_call(
         functools.partial(_beta_kernel, n_t=n_t, U=U),
@@ -226,7 +413,9 @@ def _beta_pallas(lpb, lpl, alphas, t_lens_b, u_lens_b, ll_b, g_b):
         out_specs=[lat_desc, lat_desc],
         out_shape=[jax.ShapeDtypeStruct((B, T, U), jnp.float32),
                    jax.ShapeDtypeStruct((B, T, U), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((B_TILE, U), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_tile, U), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_dp_vmem_limit(b_tile, U, 5)),
         interpret=_interpret(),
     )(lpb, lpl, alphas, t_lens_b, u_lens_b, ll_b, g_b)
     return glpb, glpl
