@@ -18,6 +18,17 @@ device instead of serializing one jit program per client.  Clients stream
 
 Each feed returns incrementally emitted tokens; all stream state (conv
 carries, predictor decode state) stays on the device between requests.
+
+Mic-rate ingest: /feed accepts a ``X-Sample-Rate`` header (or ``?rate=``
+query); non-16 kHz audio is polyphase-decimated on the host — the
+reference's AudioWorklet downsamples 48 kHz by taking every 3rd sample
+(rnnt-js/audio-processor.js:12-19); here an anti-aliasing filter is applied.
+
+Batching: a background pump thread owns all device work.  Feeds only
+buffer samples and wake the pump; concurrent callers' chunks land in ONE
+padded sub-batch device step (the round-1 design pumped inside the feed
+handler under the global lock, so cross-client batching happened only by
+accident).
 """
 
 from __future__ import annotations
@@ -64,9 +75,114 @@ def main(argv=None) -> None:
     pool = StreamingSessionPool(params, model_state, spec, fspec,
                                 slots=args.slots,
                                 chunk_seconds=args.chunk_seconds)
-    sessions: dict[str, int] = {}  # public id -> pool slot
-    lock = threading.Lock()  # device work serializes; batching happens in pump
+    runtime = ServerRuntime(pool, tokenizer)
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(runtime))
+    print(f"serving on http://{args.host}:{args.port} "
+          f"(model {cfg.model_name}, {fspec.num_bins}-bin featurizer, "
+          f"{args.slots} batched slots, background pump)")
+    try:
+        server.serve_forever()
+    finally:
+        runtime.stop()
 
+
+class ServerRuntime:
+    """Sessions + the background pump thread that owns all device work.
+
+    Feed handlers only buffer samples and wait on a condition until the
+    pump has consumed every full chunk for their slot; the pump batches all
+    concurrently buffered slots into one device step."""
+
+    def __init__(self, pool, tokenizer):
+        self.pool = pool
+        self.tokenizer = tokenizer
+        self.sessions: dict[str, int] = {}  # public id -> pool slot
+        self.cond = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._pump_loop, daemon=True)
+        self._thread.start()
+
+    # ----- pump thread -----
+
+    def _pump_loop(self):
+        while True:
+            with self.cond:
+                self.cond.wait_for(
+                    lambda: self._stop or self.pool.has_ready())
+                if self._stop:
+                    return
+                self.pool.pump()
+                self.cond.notify_all()
+
+    def stop(self):
+        with self.cond:
+            self._stop = True
+            self.cond.notify_all()
+        self._thread.join(timeout=5)
+
+    # ----- request-side operations (each takes the condition lock) -----
+
+    def open(self) -> str:
+        with self.cond:
+            slot = self.pool.open()  # raises RuntimeError when full
+            sid = uuid.uuid4().hex[:12]
+            self.sessions[sid] = slot
+            return sid
+
+    def feed(self, sid: str, audio, timeout: float = 30.0):
+        """Buffer, wake the pump, wait until this slot's full chunks are
+        consumed; returns (new_tokens, text) or None for unknown session."""
+        with self.cond:
+            slot = self.sessions.get(sid)
+            if slot is None:
+                return None
+            mark = len(self.pool.tokens(slot))
+            self.pool.feed(slot, audio)
+            self.cond.notify_all()
+            self.cond.wait_for(
+                lambda: not self.pool.slot_ready(slot), timeout=timeout)
+            toks = self.pool.tokens(slot)
+            return toks[mark:], self.tokenizer.decode(toks)
+
+    def text(self, sid: str):
+        with self.cond:
+            slot = self.sessions.get(sid)
+            if slot is None:
+                return None
+            return self.tokenizer.decode(self.pool.tokens(slot))
+
+    def delete(self, sid: str):
+        """Flush the tail, wait for its decode, close the slot."""
+        with self.cond:
+            slot = self.sessions.pop(sid, None)
+            if slot is None:
+                return ""
+            self.pool.flush(slot)
+            self.cond.notify_all()
+            self.cond.wait_for(
+                lambda: not self.pool.slot_ready(slot), timeout=30.0)
+            out = self.tokenizer.decode(self.pool.tokens(slot))
+            self.pool.close(slot)
+            return out
+
+    def stats(self):
+        with self.cond:
+            return self.pool.stats()
+
+
+def resample_to_16k(audio: np.ndarray, rate: int) -> np.ndarray:
+    """Host-side mic-rate ingest (reference rnnt-js/audio-processor.js:12-19
+    decimates 48 kHz by taking every 3rd sample; this applies a polyphase
+    anti-aliasing filter instead)."""
+    if rate == 16000:
+        return audio
+    from rnnt_tpu.data.augment import _resample
+
+    return _resample(audio, rate / 16000.0)
+
+
+def make_handler(runtime: ServerRuntime):
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -78,46 +194,42 @@ def main(argv=None) -> None:
 
         def do_POST(self):
             if self.path == "/session":
-                with lock:
-                    try:
-                        slot = pool.open()
-                    except RuntimeError:
-                        self._json(503, {"error": "all slots in use"})
-                        return
-                    sid = uuid.uuid4().hex[:12]
-                    sessions[sid] = slot
+                try:
+                    sid = runtime.open()
+                except RuntimeError:
+                    self._json(503, {"error": "all slots in use"})
+                    return
                 self._json(200, {"session": sid})
                 return
             if self.path.startswith("/feed/"):
-                sid = self.path.split("/feed/", 1)[1]
-                slot = sessions.get(sid)
-                if slot is None:
-                    self._json(404, {"error": "unknown session"})
-                    return
+                sid = self.path.split("/feed/", 1)[1].split("?")[0]
                 n = int(self.headers.get("Content-Length", 0))
                 pcm = np.frombuffer(self.rfile.read(n), dtype=np.int16)
                 audio = pcm.astype(np.float32) / 32768.0
-                with lock:
-                    pool.feed(slot, audio)
-                    new = pool.pump().get(slot, [])
-                    text = tokenizer.decode(pool.tokens(slot))
+                rate = int(self.headers.get("X-Sample-Rate", "16000"))
+                if "?rate=" in self.path:
+                    rate = int(self.path.split("?rate=", 1)[1])
+                if rate != 16000:
+                    audio = resample_to_16k(audio, rate)
+                res = runtime.feed(sid, audio)
+                if res is None:
+                    self._json(404, {"error": "unknown session"})
+                    return
+                new, text = res
                 self._json(200, {"new_tokens": new, "text": text})
                 return
             self._json(404, {"error": "unknown endpoint"})
 
         def do_GET(self):
             if self.path == "/stats":
-                with lock:
-                    self._json(200, pool.stats())
+                self._json(200, runtime.stats())
                 return
             if self.path.startswith("/text/"):
                 sid = self.path.split("/text/", 1)[1]
-                slot = sessions.get(sid)
-                if slot is None:
+                text = runtime.text(sid)
+                if text is None:
                     self._json(404, {"error": "unknown session"})
                     return
-                with lock:
-                    text = tokenizer.decode(pool.tokens(slot))
                 self._json(200, {"text": text})
                 return
             self._json(404, {"error": "unknown endpoint"})
@@ -125,27 +237,14 @@ def main(argv=None) -> None:
         def do_DELETE(self):
             if self.path.startswith("/session/"):
                 sid = self.path.split("/session/", 1)[1]
-                slot = sessions.pop(sid, None)
-                if slot is None:
-                    self._json(200, {})
-                    return
-                with lock:
-                    pool.flush(slot)
-                    pool.pump()
-                    text = tokenizer.decode(pool.tokens(slot))
-                    pool.close(slot)
-                self._json(200, {"text": text})
+                self._json(200, {"text": runtime.delete(sid)})
                 return
             self._json(404, {"error": "unknown endpoint"})
 
         def log_message(self, fmt, *a):  # quiet
             pass
 
-    server = ThreadingHTTPServer((args.host, args.port), Handler)
-    print(f"serving on http://{args.host}:{args.port} "
-          f"(model {cfg.model_name}, {fspec.num_bins}-bin featurizer, "
-          f"{args.slots} batched slots)")
-    server.serve_forever()
+    return Handler
 
 
 if __name__ == "__main__":

@@ -263,6 +263,14 @@ class StreamingSessionPool:
         self._buffers[slot] = np.concatenate(
             [buf, np.zeros((pad,), np.float32)])
 
+    def slot_ready(self, slot: int) -> bool:
+        """True when the slot has at least one full chunk buffered."""
+        buf = self._buffers.get(slot)
+        return buf is not None and buf.shape[0] >= self._need
+
+    def has_ready(self) -> bool:
+        return any(b.shape[0] >= self._need for b in self._buffers.values())
+
     def pump(self) -> dict[int, list[int]]:
         """Step every stream with a full chunk buffered; returns the newly
         emitted token ids per stepped slot."""
@@ -320,5 +328,6 @@ class StreamingSessionPool:
             "mean_batched_lanes": round(
                 float(np.mean(self._pump_lanes)) if self._pump_lanes else 0.0,
                 2),
+            "max_batched_lanes": int(max(self._pump_lanes, default=0)),
             "tokens_emitted": self._total_tokens,
         }
