@@ -192,7 +192,7 @@ def bench_pipeline() -> None:
     }))
 
 
-def bench_loss() -> None:
+def bench_loss(batch_size: int = 8) -> None:
     """Loss-kernel microbenchmark: fused Pallas vs XLA chunked fwd+bwd and
     the fused kernel's FLOP utilization (BASELINE.json north-star)."""
     import jax
@@ -203,7 +203,7 @@ def bench_loss() -> None:
         T_TILE, _pick_u, transducer_loss_pallas)
     from rnnt_tpu.train.profiling import time_fn
 
-    B, T, U, H, V = 8, 250, 64, 1024, 1024
+    B, T, U, H, V = batch_size, 250, 64, 1024, 1024
     key = jax.random.PRNGKey(0)
     audio = jax.random.normal(key, (B, T, H), jnp.bfloat16)
     text = jax.random.normal(key, (B, U + 1, H), jnp.bfloat16)
@@ -225,7 +225,7 @@ def bench_loss() -> None:
     flops = 4 * 2 * B * t_pad * u_pad * H * V  # fwd + recompute + dh + dw
     peak = 197e12  # v5e bf16
     print(json.dumps({
-        "metric": "fused joint+loss fwd+bwd (B=8, T=250, U1=65, H=V=1024)",
+        "metric": f"fused joint+loss fwd+bwd (B={B}, T=250, U1=65, H=V=1024)",
         "value": round(t_fused * 1e3, 2),
         "unit": "ms",
         "vs_baseline": None,
@@ -311,7 +311,7 @@ if __name__ == "__main__":
     elif "--pipeline" in sys.argv:
         bench_pipeline()
     elif "--loss" in sys.argv:
-        bench_loss()
+        bench_loss(batch_size=_argval("--batch", 8, int))
     else:
         main(batch_size=_argval("--batch", 32, int),
              config_name=_argval("--config", "base_convjs"),
