@@ -129,6 +129,10 @@ class TrainingConfig:
     # torchaudio rnnt_loss `clamp`; the reference tunes it in optuna but
     # hardcodes it off in the trainer, rnnt/model.py:40).
     rnnt_grad_clamp: float = -1.0
+    # Sequence-parallel lattice: shard the loss lattice's T axis over the
+    # mesh "model" axis (per-device O(T/n) memory for long-form audio;
+    # forces the chunked loss path).  Needs mesh.model > 1.
+    lattice_shard_t: bool = False
     accumulate_steps: int = 1   # gradient accumulation microbatches
     spec_augment: bool = False  # device-side time/freq masking (train only)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
@@ -299,4 +303,5 @@ def build_model_spec(cfg: Config) -> RNNTSpec:
     return RNNTSpec(encoder=encoder, predictor=predictor, joint=joint,
                     loss_chunk_size=cfg.training.loss_chunk_size,
                     loss_impl=cfg.training.loss_impl,
-                    grad_clamp=cfg.training.rnnt_grad_clamp)
+                    grad_clamp=cfg.training.rnnt_grad_clamp,
+                    lattice_shard_t=cfg.training.lattice_shard_t)

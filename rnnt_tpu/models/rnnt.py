@@ -40,6 +40,10 @@ class RNNTSpec:
     loss_impl: str = "auto"  # auto | chunked | pallas
     # > 0 clamps d(loss)/d(logits) (torchaudio rnnt_loss clamp semantics).
     grad_clamp: float = -1.0
+    # Shard the T axis of the loss lattice over the mesh "model" axis
+    # (ops/lattice_tshard.py): per-device O(T/n) lattice memory for
+    # long-form audio.  Forces the chunked loss path.
+    lattice_shard_t: bool = False
 
     @property
     def blank_idx(self) -> int:

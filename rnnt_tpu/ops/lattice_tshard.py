@@ -117,27 +117,33 @@ def _chain_bwd_local(lpb, lpl, alphas_p, t_lens, u_lens, losses, g,
     return glpb[:B], glpl[:B]
 
 
-def _make_chain_loss(mesh, axis: str, n: int):
+def _make_chain_loss(mesh, axis: str, n: int, batch_axis: str | None):
     """custom_vjp OUTSIDE the shard_maps: fwd and bwd are each their own
     shard_map call, so AD never traces across a shard_map boundary.  (With
     the vjp inside a single shard_map, the transpose under check_vma=False
     splits the unmapped-output cotangent 1/n per device — grads came out
-    exactly want/n.)"""
+    exactly want/n.)
+
+    ``batch_axis`` composes with data parallelism: lattice/length/loss
+    batch dims shard over it (each (data, model) sub-row of the mesh runs
+    an independent chain over its batch shard)."""
     shard_map = jax.shard_map
 
-    spec_t = P(None, axis, None)
+    ba = batch_axis
+    spec_t = P(ba, axis, None)
+    spec_b = P(ba)
 
     fwd_sm = shard_map(
         partial(_chain_fwd_local, axis=axis, n=n),
         mesh=mesh,
-        in_specs=(spec_t, spec_t, P(), P()),
-        out_specs=(P(), spec_t),
+        in_specs=(spec_t, spec_t, spec_b, spec_b),
+        out_specs=(spec_b, spec_t),
         check_vma=False)
 
     bwd_sm = shard_map(
         partial(_chain_bwd_local, axis=axis, n=n),
         mesh=mesh,
-        in_specs=(spec_t, spec_t, spec_t, P(), P(), P(), P()),
+        in_specs=(spec_t, spec_t, spec_t, spec_b, spec_b, spec_b, spec_b),
         out_specs=(spec_t, spec_t),
         check_vma=False)
 
@@ -160,13 +166,16 @@ def _make_chain_loss(mesh, axis: str, n: int):
 
 
 def transducer_alpha_loss_tsharded(lp_blank, lp_label, t_lens, u_lens, mesh,
-                                   axis: str = "model"):
+                                   axis: str = "model",
+                                   batch_axis: str | None = None):
     """Per-sample NLL (B,) with the T axis sharded over ``mesh[axis]``.
 
     Same contract as ``transducer_alpha_loss_fast``; lattice rows stay on
     their owning device (only (B, U) boundary rows cross ICI).  T is padded
     so every shard holds an equal T_CHUNK-aligned block; U pads to 128
     lanes (padding columns forced to log-zero by the local chain).
+    ``batch_axis`` additionally shards the batch dim (data parallelism);
+    B must then divide by ``mesh[batch_axis]``.
     """
     n = mesh.shape[axis]
     B, T, U = lp_blank.shape
@@ -178,5 +187,5 @@ def transducer_alpha_loss_tsharded(lp_blank, lp_label, t_lens, u_lens, mesh,
         lpb = jnp.pad(lpb, ((0, 0), (0, pad_t), (0, 0)))
         lpl = jnp.pad(lpl, ((0, 0), (0, pad_t), (0, 0)), constant_values=NEG)
 
-    fn = _make_chain_loss(mesh, axis, n)
+    fn = _make_chain_loss(mesh, axis, n, batch_axis)
     return fn(lpb, lpl, t_lens.astype(jnp.int32), u_lens.astype(jnp.int32))

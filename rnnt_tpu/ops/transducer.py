@@ -135,11 +135,21 @@ def lattice_nll(lp_blank, lp_label, t_lens, u_lens, mesh=None):
 
     The kernel op carries its own GSPMD partitioning rule
     (rnnt_tpu/parallel/partition.py): under a sharded jit each device runs
-    its batch shard — no mesh threading needed.  ``mesh`` is accepted for
-    backward compatibility and ignored.
+    its batch shard — no mesh threading needed.  Passing a concrete
+    ``mesh`` with a "model" axis > 1 instead selects the sequence-parallel
+    T-sharded lattice (ops/lattice_tshard.py): per-device O(T/n) lattice
+    memory with ICI wavefront exchange, for audio too long for one
+    device's HBM share.
     """
     import os
 
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from rnnt_tpu.ops.lattice_tshard import transducer_alpha_loss_tsharded
+
+        batch_axis = "data" if mesh.shape.get("data", 1) > 1 else None
+        return transducer_alpha_loss_tsharded(
+            lp_blank, lp_label, t_lens, u_lens, mesh,
+            batch_axis=batch_axis)
     del mesh
     impl = os.environ.get("RNNT_ALPHA_IMPL", "")
     use_pallas = (impl == "pallas"

@@ -39,11 +39,14 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
                  mesh=None, spec_augment: bool = False):
     """Loss over a raw-audio batch; featurization happens on device.
 
-    ``mesh`` is accepted for backward compatibility and ignored: the Pallas
-    loss kernels carry their own GSPMD partitioning rules
-    (rnnt_tpu/parallel/partition.py), so the same jitted step runs on any
-    mesh without wrapper plumbing."""
-    del mesh
+    ``mesh`` is normally unused: the Pallas loss kernels carry their own
+    GSPMD partitioning rules (rnnt_tpu/parallel/partition.py), so the same
+    jitted step runs on any mesh without wrapper plumbing.  The one
+    exception is ``spec.lattice_shard_t`` — the T-sharded lattice
+    (ops/lattice_tshard.py) is a shard_map program and needs the concrete
+    mesh at trace time."""
+    if not getattr(spec, "lattice_shard_t", False):
+        mesh = None
     featurize = make_featurizer(fspec)
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
@@ -60,16 +63,20 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
             training=training, rng=rng)
         t_lens = encoder_out_len(feat_lens, spec.encoder)
         from rnnt_tpu.models.rnnt import resolve_loss_impl
-        if resolve_loss_impl(spec.loss_impl) == "pallas":
+        use_pallas = (resolve_loss_impl(spec.loss_impl) == "pallas"
+                      and mesh is None)  # tshard needs the chunked path
+        if use_pallas:
             from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
             loss = transducer_loss_pallas(
                 params["joint"], audio, text, batch["targets"], t_lens,
-                batch["target_lens"], spec.blank_idx)
+                batch["target_lens"], spec.blank_idx,
+                grad_clamp=spec.grad_clamp)
         else:
             loss = transducer_loss(
                 params["joint"], audio, text, batch["targets"], t_lens,
                 batch["target_lens"], spec.blank_idx,
-                chunk_size=spec.loss_chunk_size)
+                chunk_size=spec.loss_chunk_size, grad_clamp=spec.grad_clamp,
+                mesh=mesh)
         return loss, new_state
 
     return loss_fn

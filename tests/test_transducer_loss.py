@@ -9,6 +9,7 @@ import numpy as np
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
+import optax
 import pytest
 
 from rnnt_tpu.models.joint import JointSpec, joint_apply, joint_init
@@ -248,3 +249,50 @@ def test_grad_clamp_chunked_matches_pallas():
     for a, b in zip(jax.tree.leaves(gc), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_grad_clamp_reaches_train_step_loss_fn():
+    """Regression: make_loss_fn (the actual train-step path) must forward
+    spec.grad_clamp — it originally only reached rnnt_loss_apply, so the
+    training.rnnt_grad_clamp config knob silently did nothing in training."""
+    from rnnt_tpu.config.config import (
+        Config, build_featurizer_spec, build_model_spec)
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.step import make_loss_fn
+
+    cfg = Config()
+    cfg.encoder.blocks = []
+    cfg.encoder.epilogue_features = 32
+    cfg.encoder.output_features = 64
+    cfg.predictor.output_dim = 64
+    cfg.predictor.symbol_embedding_dim = 32
+    cfg.predictor.dropout = 0.0
+    cfg.joint.hidden_features = 64
+    cfg.training.precision = "fp32"
+    cfg.training.loss_impl = "chunked"
+    fspec = build_featurizer_spec(cfg)
+
+    rng = np.random.RandomState(1)
+    B = 2
+    batch = {
+        "audio": jnp.asarray(rng.randn(B, 8000).astype(np.float32) * 0.1),
+        "audio_lens": jnp.asarray([8000, 6000], jnp.int32),
+        "targets": jnp.asarray(rng.randint(0, 100, (B, 6)), jnp.int32),
+        "target_lens": jnp.asarray([6, 4], jnp.int32),
+    }
+
+    spec_off = build_model_spec(cfg)
+    cfg.training.rnnt_grad_clamp = 1e-5  # tiny: must visibly shrink grads
+    spec_on = build_model_spec(cfg)
+    assert spec_on.grad_clamp == 1e-5
+
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec_off)
+
+    def grad_norm(spec):
+        fn = make_loss_fn(spec, fspec, "fp32")
+        g = jax.grad(lambda p: fn(p, model_state, batch, None, True)[0])(
+            params)
+        return float(optax.global_norm(g))
+
+    n_off, n_on = grad_norm(spec_off), grad_norm(spec_on)
+    assert n_on < 0.5 * n_off, (n_on, n_off)
