@@ -236,7 +236,8 @@ def bench_loss(batch_size: int = 8) -> None:
 
 
 def main(batch_size: int = 32, config_name: str = "base_convjs",
-         seconds: float = 5.0, max_tokens: int = 64) -> None:
+         seconds: float = 5.0, max_tokens: int = 64,
+         loss_impl: str = "", band: int = 0) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -249,6 +250,10 @@ def main(batch_size: int = 32, config_name: str = "base_convjs",
     from rnnt_tpu.train.step import TrainState, make_train_step
 
     cfg = load_config(resolve_config(config_name))
+    if loss_impl:
+        cfg.training.loss_impl = loss_impl
+    if band:
+        cfg.training.pruned_band = band
     spec = build_model_spec(cfg)
     fspec = build_featurizer_spec(cfg)
 
@@ -287,6 +292,8 @@ def main(batch_size: int = 32, config_name: str = "base_convjs",
     value = audio_seconds * iters / dt
     label = ("base RNN-T" if config_name == "base_convjs"
              else f"{config_name} RNN-T")
+    if loss_impl:
+        label += f" [{loss_impl}]"
     print(json.dumps({
         "metric": f"train audio-seconds/s/chip ({label})",
         "value": round(value, 2),
@@ -316,4 +323,6 @@ if __name__ == "__main__":
         main(batch_size=_argval("--batch", 32, int),
              config_name=_argval("--config", "base_convjs"),
              seconds=_argval("--seconds", 5.0, float),
-             max_tokens=_argval("--tokens", 64, int))
+             max_tokens=_argval("--tokens", 64, int),
+             loss_impl=_argval("--loss-impl", ""),
+             band=_argval("--band", 0, int))

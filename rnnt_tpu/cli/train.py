@@ -41,6 +41,10 @@ def main(argv=None) -> None:
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of steps 3-6 into "
                          "<run_dir>/trace (view in TensorBoard/Perfetto)")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    metavar="KEY.PATH=VALUE",
+                    help="dotted config override (Hydra-grammar parity), "
+                         "e.g. --set training.loss_impl=pruned")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -57,6 +61,8 @@ def main(argv=None) -> None:
         jax.distributed.initialize()
 
     cfg = load_config(resolve_config(args.config))
+    from rnnt_tpu.config.config import apply_overrides
+    apply_overrides(cfg, args.overrides)
     final_wer = train(cfg, output_base=args.output_base, resume=args.resume,
                       max_steps=args.max_steps, profile=args.profile)
     print(f"final wer: {final_wer}")

@@ -124,7 +124,13 @@ class TrainingConfig:
     # auto = fused Pallas joint on TPU, chunked XLA remat elsewhere (the
     # fused kernels measure ~4% faster end-to-end on v5e; interpret mode
     # would crawl on CPU).
-    loss_impl: str = "auto"  # auto | chunked | pallas
+    loss_impl: str = "auto"  # auto | chunked | pallas | pruned
+    # Pruned-loss knobs (loss_impl == "pruned": banded lattice driven by a
+    # factored simple joint, ops/transducer_pruned.py — trains a
+    # simple_scale*simple + pruned_scale*banded objective).
+    pruned_band: int = 16
+    pruned_simple_scale: float = 0.5
+    pruned_scale: float = 1.0
     # > 0 clamps d(loss)/d(logits) in the transducer backward (the
     # torchaudio rnnt_loss `clamp`; the reference tunes it in optuna but
     # hardcodes it off in the trainer, rnnt/model.py:40).
@@ -224,6 +230,29 @@ def load_config(path: str | Path) -> Config:
     return _from_dict(Config, raw)
 
 
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Hydra-style dotted overrides (parity with the reference's CLI
+    grammar, e.g. ``python -m rnnt.train training.lr=1e-4``; reference
+    rnnt/train.py:23 via @hydra.main): each item is ``a.b.c=value`` with
+    the value YAML-parsed (ints/floats/bools/lists work).  Mutates and
+    returns cfg; unknown paths raise."""
+    for item in overrides or []:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} must look like key.path=value")
+        path, _, raw = item.partition("=")
+        parts = path.strip().split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            if not hasattr(obj, p):
+                raise KeyError(f"unknown config path {path!r} (at {p!r})")
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise KeyError(f"unknown config key {path!r}")
+        setattr(obj, leaf, yaml.safe_load(raw))
+    return cfg
+
+
 def config_to_dict(cfg: Config) -> dict:
     return dataclasses.asdict(cfg)
 
@@ -303,5 +332,8 @@ def build_model_spec(cfg: Config) -> RNNTSpec:
     return RNNTSpec(encoder=encoder, predictor=predictor, joint=joint,
                     loss_chunk_size=cfg.training.loss_chunk_size,
                     loss_impl=cfg.training.loss_impl,
+                    pruned_band=cfg.training.pruned_band,
+                    pruned_simple_scale=cfg.training.pruned_simple_scale,
+                    pruned_scale=cfg.training.pruned_scale,
                     grad_clamp=cfg.training.rnnt_grad_clamp,
                     lattice_shard_t=cfg.training.lattice_shard_t)

@@ -43,8 +43,9 @@ def _linear_init(key, in_dim, out_dim, dtype):
                                     maxval=bound, dtype=dtype)}
 
 
-def joint_init(key: jax.Array, spec: JointSpec, dtype=jnp.float32) -> dict:
-    k1, k2, k3 = jax.random.split(key, 3)
+def joint_init(key: jax.Array, spec: JointSpec, dtype=jnp.float32,
+               simple: bool = False) -> dict:
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     params = {"out": _linear_init(k3, spec.hidden_features, spec.num_classes, dtype)}
     if spec.audio_features > 0:
         params["audio_proj"] = _linear_init(k1, spec.audio_features,
@@ -52,6 +53,13 @@ def joint_init(key: jax.Array, spec: JointSpec, dtype=jnp.float32) -> dict:
     if spec.text_features > 0:
         params["text_proj"] = _linear_init(k2, spec.text_features,
                                            spec.hidden_features, dtype)
+    if simple:
+        # Factored "simple" joint heads for the pruned transducer loss
+        # (ops/transducer_pruned.py): per-side raw-dim -> V projections.
+        da = spec.audio_features if spec.audio_features > 0 else spec.hidden_features
+        dt = spec.text_features if spec.text_features > 0 else spec.hidden_features
+        params["simple"] = {"am": _linear_init(k4, da, spec.num_classes, dtype),
+                            "lm": _linear_init(k5, dt, spec.num_classes, dtype)}
     return params
 
 

@@ -36,8 +36,14 @@ class RNNTSpec:
     joint: JointSpec
     # Loss chunking along T; tune to the HBM budget.
     loss_chunk_size: int = 16
-    # "chunked" (XLA remat path) or "pallas" (fused lattice kernel).
-    loss_impl: str = "auto"  # auto | chunked | pallas
+    # "chunked" (XLA remat path), "pallas" (fused lattice kernel), or
+    # "pruned" (banded lattice via a factored simple joint — a FLOP cut the
+    # reference doesn't have; ops/transducer_pruned.py).
+    loss_impl: str = "auto"  # auto | chunked | pallas | pruned
+    # Pruned-loss knobs (loss_impl == "pruned" only).
+    pruned_band: int = 16
+    pruned_simple_scale: float = 0.5
+    pruned_scale: float = 1.0
     # > 0 clamps d(loss)/d(logits) (torchaudio rnnt_loss clamp semantics).
     grad_clamp: float = -1.0
     # Shard the T axis of the loss lattice over the mesh "model" axis
@@ -57,7 +63,8 @@ def rnnt_init(key: jax.Array, spec: RNNTSpec, dtype=jnp.float32):
     params = {
         "encoder": enc_params,
         "predictor": predictor_init(pk, spec.predictor, dtype),
-        "joint": joint_init(jk, spec.joint, dtype),
+        "joint": joint_init(jk, spec.joint, dtype,
+                            simple=spec.loss_impl == "pruned"),
     }
     state = {"encoder": enc_state}
     return params, state
@@ -107,7 +114,15 @@ def rnnt_loss_apply(params, state, batch: dict, spec: RNNTSpec, *,
         params, state, batch["features"], spec, batch["targets"],
         training=training, rng=rng)
     t_lens = encoder_out_len(batch["feature_lens"], spec.encoder)
-    if resolve_loss_impl(spec.loss_impl) == "pallas":
+    if spec.loss_impl == "pruned":
+        from rnnt_tpu.ops.transducer_pruned import pruned_transducer_loss
+        loss = pruned_transducer_loss(
+            params["joint"], audio, text, batch["targets"], t_lens,
+            batch["target_lens"], spec.blank_idx, band=spec.pruned_band,
+            simple_scale=spec.pruned_simple_scale,
+            pruned_scale=spec.pruned_scale,
+            chunk_size=spec.loss_chunk_size, grad_clamp=spec.grad_clamp)
+    elif resolve_loss_impl(spec.loss_impl) == "pallas":
         from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
         loss = transducer_loss_pallas(
             params["joint"], audio, text, batch["targets"], t_lens,

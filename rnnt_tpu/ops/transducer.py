@@ -70,6 +70,32 @@ def lattice_log_probs(logits: jax.Array, targets: jax.Array,
     return lp_blank, lp_label
 
 
+def row_scan(c, e_shift):
+    """Lattice-row recurrence a[u] = LSE(c[u], a[u-1] + e_shift[u]) as an
+    associative scan in the (LSE, +) log semiring: affine map composition
+    combine((A1,b1),(A2,b2)) = (A1+A2, LSE(b1+A2, b2)).
+
+    c, e_shift: (B, U).  e_shift[:, 0] must be log-zero (nothing enters
+    column 0 from the left).  Shared by the full and the banded (pruned)
+    alpha recursions."""
+    elems = (e_shift, c)
+
+    def combine(x, y):
+        A1, b1 = x
+        A2, b2 = y
+        return A1 + A2, _lse(b1 + A2, b2)
+
+    _, a = lax.associative_scan(combine, elems, axis=1)
+    return a
+
+
+def shift_right(x, fill):
+    """(B, U) -> (B, U): drop the last column, prepend a fill column."""
+    B = x.shape[0]
+    return jnp.concatenate(
+        [jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+
 def transducer_alpha_loss(lp_blank: jax.Array, lp_label: jax.Array,
                           t_lens: jax.Array, u_lens: jax.Array) -> jax.Array:
     """Alpha (forward) recursion over the lattice; returns per-sample
@@ -82,25 +108,6 @@ def transducer_alpha_loss(lp_blank: jax.Array, lp_label: jax.Array,
     lp_blank = lp_blank.astype(jnp.float32)
     lp_label = lp_label.astype(jnp.float32)
     B, T, U1 = lp_blank.shape
-
-    # Row recurrence as an associative scan in the (LSE, +) log semiring:
-    # a[u] = LSE(c[u], a[u-1] + e[u-1])  ==  affine map composition with
-    # combine((A1,b1),(A2,b2)) = (A1+A2, LSE(b1+A2, b2)).
-    def row_scan(c, e_shift):
-        A = e_shift  # (B, U+1): A[0] = log-zero, A[u] = lp_label[:, u-1]
-        elems = (A, c)
-
-        def combine(x, y):
-            A1, b1 = x
-            A2, b2 = y
-            return A1 + A2, _lse(b1 + A2, b2)
-
-        _, a = lax.associative_scan(combine, elems, axis=1)
-        return a
-
-    def shift_right(x, fill):
-        return jnp.concatenate(
-            [jnp.full((B, 1), fill, x.dtype), x[:, :-1]], axis=1)
 
     # Row 0: alpha[0, u] = cumsum of lp_label[0, :u]; realized with the same
     # scan with c = (0, NEG, NEG, ...).

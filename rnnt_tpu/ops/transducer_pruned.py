@@ -1,0 +1,350 @@
+"""Pruned RNN-T loss: a factored "simple" joint prunes the T×U lattice to a
+narrow U-band, and the full joint is evaluated only inside the band.
+
+This is a capability the reference does not have (its loss is
+``torchaudio.functional.rnnt_loss`` over the full lattice,
+/root/reference/rnnt/model.py:31-41).  The technique is the pruned
+transducer of "Pruned RNN-T for fast, memory-efficient ASR training"
+(Kuang et al., Interspeech 2022, the k2/icefall recipe), re-derived here
+TPU-natively:
+
+1. **Simple joint** (factored, trains its own small projections):
+   ``logit(t,u,v) = am(t,v) + lm(u,v)`` with ``am = audio @ W_am``,
+   ``lm = text @ W_lm``.  Because the joint factors, the per-cell
+   normalizer ``Z(t,u) = logsumexp_v(am+lm)`` is ONE (B,T,V)x(B,V,U)
+   matmul of exponentials — the full-lattice simple loss costs
+   O(B·T·U·V) instead of the full joint's O(B·T·U·H·V).
+2. **Occupancy-driven band**: the gradient of the simple loss w.r.t. the
+   label log-probs is the posterior occupancy of each label arc; per
+   frame t the band start ``s(t)`` maximizes the occupancy mass in a
+   window of ``band`` labels, then is made monotone non-decreasing with
+   per-frame jumps < band (so blank transitions always stay in-band) and
+   pinned to 0 at t=0 and to cover (t_len-1, u_len) at the end.
+3. **Banded full joint + banded alpha recursion**: the expensive joint
+   (H-dim tanh + H×V matmul) runs on (B, T, band) lattice cells instead
+   of (B, T, U+1) — an (U+1)/band FLOP cut on the dominant matmuls —
+   chunked over T under ``jax.checkpoint`` like the full chunked path.
+
+The pruned NLL sums over the sub-lattice of paths inside the band, so it
+upper-bounds the exact NLL and equals it when the band covers the full
+lattice (tested in tests/test_transducer_pruned.py).  Training minimizes
+``simple_scale * simple_nll + pruned_scale * pruned_nll`` (k2 default
+weighting); the simple loss keeps the band estimator aligned with the
+model as both train.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rnnt_tpu.ops.transducer import (
+    NEG,
+    clamp_grads,
+    lattice_nll,
+    row_scan,
+    shift_right,
+)
+
+
+# --------------------------- simple (factored) joint ---------------------------
+
+def simple_joint_log_probs(simple_params, audio, text, targets, u_lens,
+                           blank: int):
+    """Full-lattice blank/label log-probs of the factored joint.
+
+    audio: (B, T, Da) raw encoder output; text: (B, U+1, Dt) raw predictor
+    output; targets: (B, U).  Returns (lp_blank, lp_label): (B, T, U+1) f32.
+
+    The normalizer never materializes (B, T, U, V): Z = log(exp(am) @
+    exp(lm)^T) with per-row max subtraction for stability.
+    """
+    f32 = jnp.float32
+    am = (jnp.dot(audio.astype(f32), simple_params["am"]["w"].astype(f32))
+          + simple_params["am"]["b"].astype(f32))          # (B, T, V)
+    lm = (jnp.dot(text.astype(f32), simple_params["lm"]["w"].astype(f32))
+          + simple_params["lm"]["b"].astype(f32))          # (B, U+1, V)
+
+    am_max = jnp.max(am, axis=-1)                          # (B, T)
+    lm_max = jnp.max(lm, axis=-1)                          # (B, U+1)
+    pa = jnp.exp(am - am_max[..., None])
+    pl = jnp.exp(lm - lm_max[..., None])
+    # (B, T, V) @ (B, V, U+1) -> (B, T, U+1); sum_v pa*pl >= exp(0)*... > 0.
+    z = jnp.einsum("btv,buv->btu", pa, pl,
+                   preferred_element_type=f32)
+    z = jnp.log(z + 1e-30) + am_max[:, :, None] + lm_max[:, None, :]
+
+    B = targets.shape[0]
+    U1 = text.shape[1]
+    tgt_pad = jnp.concatenate(
+        [targets, jnp.zeros((B, 1), dtype=targets.dtype)], axis=1)  # (B, U+1)
+    am_lbl = jnp.take_along_axis(
+        am, tgt_pad[:, None, :].astype(jnp.int32), axis=-1)  # (B, T, U+1)
+    lm_lbl = jnp.take_along_axis(
+        lm, tgt_pad[:, :, None].astype(jnp.int32), axis=-1)[..., 0]  # (B, U+1)
+
+    lp_blank = am[..., blank][:, :, None] + lm[..., blank][:, None, :] - z
+    lp_label = am_lbl + lm_lbl[:, None, :] - z
+    u_mask = jnp.arange(U1)[None, :] < u_lens[:, None]
+    lp_label = jnp.where(u_mask[:, None, :], lp_label, NEG)
+    return lp_blank, lp_label
+
+
+# ------------------------------ pruning bounds ------------------------------
+
+def prune_bounds(gamma, t_lens, u_lens, band: int):
+    """Band starts s: (B, T) int32 from label-occupancy gamma (B, T, U+1).
+
+    Guarantees (see module docstring):  0 <= s <= U1-band;  s[:, 0] == 0;
+    s non-decreasing with s[t+1]-s[t] <= band-1;  for t >= t_len-1,
+    s == clip(u_len-band+1, 0, U1-band) so the final cell (t_len-1, u_len)
+    is in-band whenever reachable.
+    """
+    B, T, U1 = gamma.shape
+    S = min(band, U1)
+    # Windowed occupancy mass via cumsum; positions k in [0, U1-S].
+    cs = jnp.cumsum(gamma, axis=-1)
+    cs = jnp.concatenate([jnp.zeros((B, T, 1), cs.dtype), cs], axis=-1)
+    win = cs[..., S:] - cs[..., :-S]                       # (B, T, U1-S+1)
+    raw = jnp.argmax(win, axis=-1).astype(jnp.int32)       # (B, T)
+
+    final = jnp.clip(u_lens - (S - 1), 0, U1 - S).astype(jnp.int32)  # (B,)
+    raw = jnp.minimum(raw, final[:, None])
+    t_ids = jnp.arange(T)[None, :]
+    raw = jnp.where(t_ids >= (t_lens - 1)[:, None], final[:, None], raw)
+    raw = raw.at[:, 0].set(0)
+
+    # Monotone non-decreasing.
+    mono = lax.cummax(raw, axis=1)
+    # Cap jumps at S-1 by pulling DOWN (preserves s[0]=0 and monotonicity):
+    # s[t] = min(mono[t], s[t-1] + (S-1)).  Maps x -> min(m, x+k) compose
+    # to the same form, so this is an associative scan:
+    #   (m2,k2) after (m1,k1) = (min(m2, m1+k2), k1+k2).
+    k = jnp.full_like(mono, S - 1)
+
+    def combine(f, g):  # g applied after f
+        mf, kf = f
+        mg, kg = g
+        return jnp.minimum(mg, mf + kg), kf + kg
+
+    m_scan, k_scan = lax.associative_scan(combine, (mono, k), axis=1)
+    s = jnp.minimum(m_scan, k_scan - (S - 1))  # x0 = s[0] = 0 = mono[:, 0]
+    return lax.stop_gradient(s.astype(jnp.int32))
+
+
+# --------------------------- banded alpha recursion ---------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def banded_to_full(lp_band, bounds, U1: int):
+    """Scatter banded (B, T, S) log-probs to the full (B, T, U1) lattice
+    with log-zero outside the band.
+
+    The production path then runs the EXISTING full-lattice DP (the Pallas
+    alpha kernel, ops/lattice_pallas.py, with its GSPMD partitioning):
+    out-of-band cells are log-zero so every path leaving the band scores
+    -inf — exactly the banded recursion's semantics, without a sequential
+    per-frame scan (measured 17 ms -> ~2 ms fwd+bwd on v5e at B=32).  The
+    DP itself has no V dimension, so un-banding it costs no joint FLOPs.
+
+    custom_vjp because band->full is injective ((t,s) -> u = bounds[t]+s):
+    the adjoint is a plain gather of the cotangent at those cells — XLA's
+    default transpose of the forward gather is a scatter-add, which
+    measured ~6 ms/step slower on v5e."""
+    return _banded_to_full_impl(lp_band, bounds, U1)
+
+
+def _banded_to_full_impl(lp_band, bounds, U1: int):
+    B, T, S = lp_band.shape
+    rel = jnp.arange(U1)[None, None, :] - bounds[:, :, None]   # (B, T, U1)
+    inband = (rel >= 0) & (rel < S)
+    vals = jnp.take_along_axis(lp_band, jnp.clip(rel, 0, S - 1), axis=-1)
+    return jnp.where(inband, vals, NEG)
+
+
+def _b2f_fwd(lp_band, bounds, U1):
+    return _banded_to_full_impl(lp_band, bounds, U1), (bounds,
+                                                       lp_band.shape[-1])
+
+
+def _b2f_bwd(U1, res, g):
+    bounds, S = res
+    idx = bounds[:, :, None] + jnp.arange(S)[None, None, :]   # (B, T, S)
+    return jnp.take_along_axis(g, idx, axis=-1), None
+
+
+banded_to_full.defvjp(_b2f_fwd, _b2f_bwd)
+
+
+def banded_alpha_loss(lp_blank, lp_label, bounds, t_lens, u_lens):
+    """Alpha recursion restricted to the band; per-sample NLL (B,).
+
+    Reference implementation (sequential scan over T) used by tests to
+    prove the ``banded_to_full`` + full-DP path equivalent; the production
+    loss uses the scatter instead.
+
+    lp_blank/lp_label: (B, T, S) where cell (b, t, s) is lattice cell
+    (t, bounds[b,t]+s).  Cross-row transitions realign band coordinates by
+    off[t] = bounds[t] - bounds[t-1] (guaranteed in [0, S-1])."""
+    lp_blank = lp_blank.astype(jnp.float32)
+    lp_label = lp_label.astype(jnp.float32)
+    B, T, S = lp_blank.shape
+    s_ids = jnp.arange(S)[None, :]                        # (1, S)
+
+    alpha0 = row_scan(
+        jnp.concatenate([jnp.zeros((B, 1), jnp.float32),
+                         jnp.full((B, S - 1), NEG)], axis=1),
+        shift_right(lp_label[:, 0], NEG))
+
+    off = (bounds[:, 1:] - bounds[:, :-1]).astype(jnp.int32)  # (B, T-1)
+
+    def step(alpha_prev, xs):
+        lpb_prev, lpl_cur, off_t = xs  # (B,S), (B,S), (B,)
+        src = s_ids + off_t[:, None]                       # (B, S)
+        valid = src < S
+        stay = jnp.take_along_axis(alpha_prev + lpb_prev,
+                                   jnp.minimum(src, S - 1), axis=1)
+        c = jnp.where(valid, stay, NEG)
+        alpha = row_scan(c, shift_right(lpl_cur, NEG))
+        return alpha, alpha
+
+    xs = (jnp.swapaxes(lp_blank[:, :-1], 0, 1),
+          jnp.swapaxes(lp_label[:, 1:], 0, 1),
+          jnp.swapaxes(off, 0, 1))
+    _, alphas_tail = lax.scan(step, alpha0, xs)
+    alphas = jnp.concatenate([alpha0[None], alphas_tail], axis=0)  # (T,B,S)
+
+    b_idx = jnp.arange(B)
+    t_last = t_lens - 1
+    coord = u_lens - bounds[b_idx, t_last]                 # final band coord
+    coord_c = jnp.clip(coord, 0, S - 1)
+    final_alpha = alphas[t_last, b_idx, coord_c]
+    final_blank = lp_blank[b_idx, t_last, coord_c]
+    nll = -(final_alpha + final_blank)
+    # If the band can't reach u_len by t_last (u_len > (t_len-1)*(S-1),
+    # i.e. > S-1 labels/frame — degenerate input), the cell is out of band:
+    # return the log-zero-derived large loss rather than a wrong cell's.
+    return jnp.where((coord >= 0) & (coord < S), nll, -NEG)
+
+
+# ------------------------------ banded full joint ------------------------------
+
+def _banded_chunk_log_probs(joint_params, enc_chunk, text, s_chunk,
+                            targets_pad, u_lens, blank, band: int,
+                            grad_clamp=-1.0):
+    """Full joint on the band cells of one T-chunk.
+
+    enc_chunk: (B, Tc, H) side-projected audio; text: (B, U+1, H)
+    side-projected;  s_chunk: (B, Tc) band starts.  Returns
+    (lp_blank, lp_label): (B, Tc, S) f32.
+    """
+    B, Tc, H = enc_chunk.shape
+    U1 = text.shape[1]
+    idx = s_chunk[:, :, None] + jnp.arange(band)[None, None, :]  # (B,Tc,S)
+    # Gathers as one-hot matmuls: XLA transposes a gather into a slow TPU
+    # scatter-add, while a one-hot einsum is an MXU matmul in BOTH
+    # directions (same trick as the fused kernel's label selection,
+    # ops/transducer_pallas.py _fwd_kernel).
+    sel_u = jax.nn.one_hot(idx, U1, dtype=text.dtype)      # (B,Tc,S,U1)
+    text_band = jnp.einsum("btsu,buh->btsh", sel_u, text,
+                           preferred_element_type=jnp.float32
+                           ).astype(text.dtype)
+    h = jnp.tanh(enc_chunk[:, :, None, :] + text_band)
+    w = joint_params["out"]["w"].astype(h.dtype)
+    b = joint_params["out"]["b"].astype(jnp.float32)
+    logits = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+    logits = logits.astype(jnp.float32)
+    if grad_clamp > 0:
+        logits = clamp_grads(logits, grad_clamp)
+    denom = jax.nn.logsumexp(logits, axis=-1)
+    lp_blank = logits[..., blank] - denom
+    lbl = jnp.take_along_axis(targets_pad[:, None, :], idx, axis=2)  # (B,Tc,S)
+    sel_v = jax.nn.one_hot(lbl, logits.shape[-1], dtype=jnp.float32)
+    lp_label = jnp.einsum("btsv,btsv->bts", logits, sel_v) - denom
+    lp_label = jnp.where(idx < u_lens[:, None, None], lp_label, NEG)
+    return lp_blank, lp_label
+
+
+@partial(jax.checkpoint, static_argnums=(6, 7, 8))
+def _banded_chunk_log_probs_remat(joint_params, enc_chunk, text, s_chunk,
+                                  targets_pad, u_lens, blank, band,
+                                  grad_clamp=-1.0):
+    return _banded_chunk_log_probs(joint_params, enc_chunk, text, s_chunk,
+                                   targets_pad, u_lens, blank, band,
+                                   grad_clamp)
+
+
+# ------------------------------- public entry -------------------------------
+
+def pruned_transducer_loss(joint_params, audio, text, targets, t_lens,
+                           u_lens, blank: int, *, band: int = 16,
+                           simple_scale: float = 0.5,
+                           pruned_scale: float = 1.0,
+                           chunk_size: int = 32, reduction: str = "mean",
+                           grad_clamp: float = -1.0):
+    """simple_scale * simple NLL + pruned_scale * banded NLL.
+
+    audio: (B, T, Da) encoder output, text: (B, U+1, Dt) predictor output
+    (both RAW — side projections applied here); joint_params must carry the
+    ``simple`` subtree (joint_init(..., simple=True)).  Same call contract
+    as ``transducer_loss`` otherwise.
+    """
+    from rnnt_tpu.models.joint import project_sides
+
+    B, T, _ = audio.shape
+    U1 = text.shape[1]
+    band = min(band, U1)
+
+    # 1) Full-lattice simple loss (cheap: factored joint).
+    lpb_s, lpl_s = simple_joint_log_probs(
+        joint_params["simple"], audio, text, targets, u_lens, blank)
+    losses_simple = lattice_nll(lpb_s, lpl_s, t_lens, u_lens)
+
+    # 2) Occupancy -> band starts (stop-gradient; an extra DP fwd+bwd on
+    # detached inputs — the differentiable simple DP above is separate).
+    def nll_sum(lpl):
+        return jnp.sum(lattice_nll(lax.stop_gradient(lpb_s), lpl,
+                                   t_lens, u_lens))
+
+    gamma = -jax.grad(nll_sum)(lax.stop_gradient(lpl_s))   # (B, T, U+1) >= 0
+    bounds = prune_bounds(gamma, t_lens, u_lens, band)     # (B, T)
+
+    # 3) Banded full joint, chunked over T under remat.
+    audio_p, text_p = project_sides(joint_params, audio, text)
+    targets_pad = jnp.concatenate(
+        [targets, jnp.zeros((B, 1), dtype=targets.dtype)], axis=1)
+
+    n_chunks = -(-T // chunk_size)
+    pad_t = n_chunks * chunk_size - T
+    audio_pad = jnp.pad(audio_p, ((0, 0), (0, pad_t), (0, 0)))
+    chunks = jnp.swapaxes(
+        audio_pad.reshape(B, n_chunks, chunk_size, -1), 0, 1)
+    s_pad = jnp.pad(bounds, ((0, 0), (0, pad_t)), mode="edge")
+    s_chunks = jnp.swapaxes(s_pad.reshape(B, n_chunks, chunk_size), 0, 1)
+
+    def body(_, xs):
+        enc_chunk, s_chunk = xs
+        lpb, lpl = _banded_chunk_log_probs_remat(
+            joint_params, enc_chunk, text_p, s_chunk, targets_pad, u_lens,
+            blank, band, grad_clamp)
+        return None, (lpb, lpl)
+
+    _, (lpb, lpl) = lax.scan(body, None, (chunks, s_chunks))
+    lp_blank = jnp.moveaxis(lpb, 0, 1).reshape(B, -1, band)[:, :T]
+    lp_label = jnp.moveaxis(lpl, 0, 1).reshape(B, -1, band)[:, :T]
+
+    # Banded DP == full DP over a log-zero-filled lattice (see
+    # banded_to_full): reuse the Pallas alpha kernel instead of a
+    # sequential banded scan.
+    losses_pruned = lattice_nll(
+        banded_to_full(lp_blank, bounds, U1),
+        banded_to_full(lp_label, bounds, U1), t_lens, u_lens)
+
+    losses = simple_scale * losses_simple + pruned_scale * losses_pruned
+    if reduction == "mean":
+        return jnp.mean(losses)
+    if reduction == "sum":
+        return jnp.sum(losses)
+    return losses

@@ -63,6 +63,16 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
             training=training, rng=rng)
         t_lens = encoder_out_len(feat_lens, spec.encoder)
         from rnnt_tpu.models.rnnt import resolve_loss_impl
+        if spec.loss_impl == "pruned":
+            from rnnt_tpu.ops.transducer_pruned import pruned_transducer_loss
+            loss = pruned_transducer_loss(
+                params["joint"], audio, text, batch["targets"], t_lens,
+                batch["target_lens"], spec.blank_idx,
+                band=spec.pruned_band,
+                simple_scale=spec.pruned_simple_scale,
+                pruned_scale=spec.pruned_scale,
+                chunk_size=spec.loss_chunk_size, grad_clamp=spec.grad_clamp)
+            return loss, new_state
         use_pallas = (resolve_loss_impl(spec.loss_impl) == "pallas"
                       and mesh is None)  # tshard needs the chunked path
         if use_pallas:

@@ -1,0 +1,228 @@
+"""Pruned (banded) transducer loss — ops/transducer_pruned.py.
+
+Verifies the k2-style pruned loss (a capability the reference lacks; its
+loss is the full-lattice torchaudio rnnt_loss, /root/reference/rnnt/model.py:35-41):
+the banded loss equals the exact loss when the band covers the lattice,
+upper-bounds it when narrower, produces valid monotone bounds, and trains
+(finite, flowing gradients through every param group incl. the simple
+heads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rnnt_tpu.models.joint import JointSpec, joint_init
+from rnnt_tpu.ops.transducer import (
+    NEG,
+    transducer_alpha_loss,
+    transducer_loss,
+)
+from rnnt_tpu.ops.transducer_pruned import (
+    banded_alpha_loss,
+    prune_bounds,
+    pruned_transducer_loss,
+    simple_joint_log_probs,
+)
+
+B, T, U, H, V = 3, 17, 9, 32, 21
+BLANK = V - 1
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(0)
+    spec = JointSpec(audio_features=H, text_features=H,
+                     hidden_features=24, num_classes=V)
+    jp = joint_init(jax.random.PRNGKey(0), spec, simple=True)
+    audio = jnp.asarray(rng.randn(B, T, H).astype("f"))
+    text = jnp.asarray(rng.randn(B, U + 1, H).astype("f"))
+    targets = jnp.asarray(rng.randint(0, V - 1, (B, U)), jnp.int32)
+    t_lens = jnp.asarray([17, 12, 9])
+    u_lens = jnp.asarray([9, 5, 3])
+    return jp, audio, text, targets, t_lens, u_lens
+
+
+def test_full_band_equals_exact_loss(setup):
+    jp, audio, text, targets, t_lens, u_lens = setup
+    exact = transducer_loss(jp, audio, text, targets, t_lens, u_lens,
+                            BLANK, chunk_size=4, reduction="none")
+    banded = pruned_transducer_loss(
+        jp, audio, text, targets, t_lens, u_lens, BLANK, band=U + 1,
+        simple_scale=0.0, pruned_scale=1.0, chunk_size=4, reduction="none")
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(banded),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_narrow_band_upper_bounds_exact(setup):
+    jp, audio, text, targets, t_lens, u_lens = setup
+    exact = np.asarray(transducer_loss(
+        jp, audio, text, targets, t_lens, u_lens, BLANK,
+        chunk_size=4, reduction="none"))
+    for band in (4, 6, 8):
+        banded = np.asarray(pruned_transducer_loss(
+            jp, audio, text, targets, t_lens, u_lens, BLANK, band=band,
+            simple_scale=0.0, pruned_scale=1.0, chunk_size=4,
+            reduction="none"))
+        assert np.all(banded >= exact - 1e-4), (band, banded, exact)
+        assert np.all(np.isfinite(banded))
+
+
+def test_banded_alpha_matches_full_alpha_at_zero_bounds():
+    rng = np.random.RandomState(1)
+    lpb = jnp.asarray(rng.randn(B, T, U + 1).astype("f") - 1.0)
+    lpl = jnp.asarray(rng.randn(B, T, U + 1).astype("f") - 1.0)
+    t_lens = jnp.asarray([T, 12, 9])
+    u_lens = jnp.asarray([U, 5, 3])
+    bounds = jnp.zeros((B, T), jnp.int32)  # band == whole lattice
+    full = transducer_alpha_loss(lpb, lpl, t_lens, u_lens)
+    banded = banded_alpha_loss(lpb, lpl, bounds, t_lens, u_lens)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(banded),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_scatter_dp_equals_banded_scan(setup):
+    """Production path (banded_to_full + full-lattice DP) must equal the
+    reference banded recursion for real occupancy-driven bounds."""
+    from rnnt_tpu.ops.transducer import lattice_nll
+    from rnnt_tpu.ops.transducer_pruned import banded_to_full
+
+    jp, audio, text, targets, t_lens, u_lens = setup
+    lpb_s, lpl_s = simple_joint_log_probs(jp["simple"], audio, text,
+                                          targets, u_lens, BLANK)
+
+    def nll_sum(x):
+        return jnp.sum(lattice_nll(lpb_s, x, t_lens, u_lens))
+
+    gamma = -jax.grad(nll_sum)(lpl_s)
+    rng = np.random.RandomState(2)
+    for band in (4, 7):
+        bounds = prune_bounds(gamma, t_lens, u_lens, band)
+        lpb = jnp.asarray(rng.randn(B, T, band).astype("f") - 1.0)
+        lpl = jnp.asarray(rng.randn(B, T, band).astype("f") - 1.0)
+        scan_nll = banded_alpha_loss(lpb, lpl, bounds, t_lens, u_lens)
+        scatter_nll = lattice_nll(banded_to_full(lpb, bounds, U + 1),
+                                  banded_to_full(lpl, bounds, U + 1),
+                                  t_lens, u_lens)
+        np.testing.assert_allclose(np.asarray(scan_nll),
+                                   np.asarray(scatter_nll),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_prune_bounds_invariants(setup):
+    jp, audio, text, targets, t_lens, u_lens = setup
+    lpb, lpl = simple_joint_log_probs(jp["simple"], audio, text, targets,
+                                      u_lens, BLANK)
+
+    from rnnt_tpu.ops.transducer import lattice_nll
+
+    def nll_sum(x):
+        return jnp.sum(lattice_nll(lpb, x, t_lens, u_lens))
+
+    gamma = -jax.grad(nll_sum)(lpl)
+    for band in (4, 8):
+        s = np.asarray(prune_bounds(gamma, t_lens, u_lens, band))
+        assert s.shape == (B, T)
+        assert np.all(s[:, 0] == 0), "band must start at u=0 at t=0"
+        d = np.diff(s, axis=1)
+        assert np.all(d >= 0), "bounds must be monotone"
+        assert np.all(d <= band - 1), "jumps must stay < band"
+        assert np.all(s >= 0) and np.all(s <= U + 1 - band)
+        # Final cell (t_len-1, u_len) in-band.
+        for b in range(B):
+            sf = s[b, int(t_lens[b]) - 1]
+            assert sf <= int(u_lens[b]) < sf + band
+
+
+def test_simple_log_probs_normalized(setup):
+    """Blank/label log-probs must come from a proper per-cell softmax:
+    check against an explicit (T, U, V) materialization."""
+    jp, audio, text, targets, t_lens, u_lens = setup
+    sp = jp["simple"]
+    am = np.asarray(audio @ sp["am"]["w"] + sp["am"]["b"])
+    lm = np.asarray(text @ sp["lm"]["w"] + sp["lm"]["b"])
+    logits = am[:, :, None, :] + lm[:, None, :, :]          # (B,T,U+1,V)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    lpb_ref = lp[..., BLANK]
+    tgt = np.concatenate([np.asarray(targets), np.zeros((B, 1), np.int32)], 1)
+    lpl_ref = np.take_along_axis(lp, tgt[:, None, :, None], axis=-1)[..., 0]
+    u_mask = np.arange(U + 1)[None, :] < np.asarray(u_lens)[:, None]
+    lpl_ref = np.where(u_mask[:, None, :], lpl_ref, NEG)
+
+    lpb, lpl = simple_joint_log_probs(sp, audio, text, targets, u_lens, BLANK)
+    np.testing.assert_allclose(np.asarray(lpb), lpb_ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lpl), lpl_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_gradients_flow_and_finite(setup):
+    jp, audio, text, targets, t_lens, u_lens = setup
+
+    def loss_fn(p, a, x):
+        return pruned_transducer_loss(
+            p, a, x, targets, t_lens, u_lens, BLANK, band=4,
+            simple_scale=0.5, pruned_scale=1.0, chunk_size=4)
+
+    g, ga, gx = jax.grad(loss_fn, argnums=(0, 1, 2))(jp, audio, text)
+    for leaf in jax.tree_util.tree_leaves((g, ga, gx)):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    for group in ("out", "audio_proj", "text_proj", "simple"):
+        n = float(jnp.sqrt(sum(jnp.sum(l * l) for l in
+                               jax.tree_util.tree_leaves(g[group]))))
+        assert n > 0, f"no gradient reached joint[{group}]"
+    assert float(jnp.abs(ga).max()) > 0 and float(jnp.abs(gx).max()) > 0
+
+
+def test_grad_clamp_bounds_logit_grads(setup):
+    jp, audio, text, targets, t_lens, u_lens = setup
+
+    def loss(a, clamp):
+        return pruned_transducer_loss(
+            jp, a, text, targets, t_lens, u_lens, BLANK, band=4,
+            simple_scale=0.0, pruned_scale=1.0, chunk_size=4,
+            grad_clamp=clamp)
+
+    g_free = jax.grad(loss)(audio, -1.0)
+    g_clamped = jax.grad(loss)(audio, 1e-4)
+    assert float(jnp.abs(g_clamped).max()) < float(jnp.abs(g_free).max())
+
+
+def test_train_step_integration():
+    """loss_impl='pruned' through make_loss_fn + value_and_grad on the tiny
+    config: finite loss, finite grads, simple heads created by rnnt_init."""
+    from rnnt_tpu.cli.train import resolve_config
+    from rnnt_tpu.config.config import (
+        build_featurizer_spec,
+        build_model_spec,
+        load_config,
+    )
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.step import make_loss_fn
+
+    cfg = load_config(resolve_config("tiny_conv"))
+    cfg.training.loss_impl = "pruned"
+    cfg.training.pruned_band = 8
+    cfg.training.loss_chunk_size = 8
+    spec = build_model_spec(cfg)
+    fspec = build_featurizer_spec(cfg)
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    assert "simple" in params["joint"]
+
+    rng = np.random.RandomState(0)
+    samples = fspec.win_length + 40 * fspec.hop_length
+    batch = {
+        "audio": jnp.asarray(rng.randn(2, samples).astype("f") * 0.1),
+        "audio_lens": jnp.full((2,), samples, jnp.int32),
+        "targets": jnp.asarray(
+            rng.randint(0, cfg.num_total_symbols - 1, (2, 12)), jnp.int32),
+        "target_lens": jnp.asarray([12, 7], jnp.int32),
+    }
+    loss_fn = make_loss_fn(spec, fspec, cfg.training.precision)
+
+    def wrapped(p):
+        loss, _ = loss_fn(p, model_state, batch, jax.random.PRNGKey(1), True)
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(wrapped))(params)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(grads))
