@@ -220,6 +220,16 @@ def bench_loss(batch_size: int = 8) -> None:
     t_fused = time_fn(fused, jp, iters=20)
     t_chunked = time_fn(chunked, jp, iters=20)
 
+    from rnnt_tpu.models.joint import JointSpec, joint_init
+    from rnnt_tpu.ops.transducer_pruned import pruned_transducer_loss
+    jp_s = joint_init(key, JointSpec(-1, -1, H, V), simple=True)
+    jp_s["out"] = jp["out"]
+    band = _argval("--band", 16, int)
+    pruned = jax.jit(jax.value_and_grad(lambda p: pruned_transducer_loss(
+        p, audio, text, targets, t_lens, u_lens, V - 1, band=band,
+        chunk_size=16)))
+    t_pruned = time_fn(pruned, jp_s, iters=20)
+
     _, u_pad = _pick_u(U + 1)
     t_pad = -(-T // T_TILE) * T_TILE
     flops = 4 * 2 * B * t_pad * u_pad * H * V  # fwd + recompute + dh + dw
@@ -232,6 +242,7 @@ def bench_loss(batch_size: int = 8) -> None:
         "chunked_ms": round(t_chunked * 1e3, 2),
         "fused_tflops": round(flops / t_fused / 1e12, 1),
         "fused_pct_of_bf16_peak": round(100 * flops / t_fused / peak, 1),
+        f"pruned_band{band}_ms": round(t_pruned * 1e3, 2),
     }))
 
 

@@ -95,6 +95,48 @@ def simple_joint_log_probs(simple_params, audio, text, targets, u_lens,
 
 # ------------------------------ pruning bounds ------------------------------
 
+@jax.custom_vjp
+def nll_with_occupancy(lp_blank, lp_label, t_lens, u_lens):
+    """(losses (B,), gamma (B,T,U+1)) with gamma = -d(losses)/d(lp_label),
+    the label-arc posterior occupancy.
+
+    Runs the lattice DP backward ONCE and reuses it twice: as the returned
+    occupancy (for prune_bounds) and as this op's own vjp — each sample's
+    loss depends only on its own lattice, so d(sum g_b*loss_b)/d lp[b] =
+    g_b * (d loss_b/d lp[b]), i.e. the vjp is the saved per-sample
+    gradient scaled by the incoming cotangent.  Saves a full DP fwd+bwd
+    pair per step vs. calling jax.grad separately for gamma.
+
+    The gamma output is treated as non-differentiable (its consumers must
+    stop_gradient it — prune_bounds does)."""
+    losses, d_blank, d_label = _nwo_compute(lp_blank, lp_label,
+                                            t_lens, u_lens)
+    return losses, -d_label
+
+
+def _nwo_compute(lp_blank, lp_label, t_lens, u_lens):
+    losses, vjp = jax.vjp(
+        lambda a, b: lattice_nll(a, b, t_lens, u_lens), lp_blank, lp_label)
+    d_blank, d_label = vjp(jnp.ones_like(losses))
+    return losses, d_blank, d_label
+
+
+def _nwo_fwd(lp_blank, lp_label, t_lens, u_lens):
+    losses, d_blank, d_label = _nwo_compute(lp_blank, lp_label,
+                                            t_lens, u_lens)
+    return (losses, -d_label), (d_blank, d_label)
+
+
+def _nwo_bwd(res, gs):
+    d_blank, d_label = res
+    g_losses, _ = gs  # gamma cotangent dropped by contract (stop_gradient)
+    g3 = g_losses[:, None, None]
+    return g3 * d_blank, g3 * d_label, None, None
+
+
+nll_with_occupancy.defvjp(_nwo_fwd, _nwo_bwd)
+
+
 def prune_bounds(gamma, t_lens, u_lens, band: int):
     """Band starts s: (B, T) int32 from label-occupancy gamma (B, T, U+1).
 
@@ -297,19 +339,13 @@ def pruned_transducer_loss(joint_params, audio, text, targets, t_lens,
     U1 = text.shape[1]
     band = min(band, U1)
 
-    # 1) Full-lattice simple loss (cheap: factored joint).
+    # 1+2) Full-lattice simple loss + label occupancy in ONE DP fwd+bwd
+    # (nll_with_occupancy reuses the backward as its own vjp), then
+    # occupancy -> band starts.
     lpb_s, lpl_s = simple_joint_log_probs(
         joint_params["simple"], audio, text, targets, u_lens, blank)
-    losses_simple = lattice_nll(lpb_s, lpl_s, t_lens, u_lens)
-
-    # 2) Occupancy -> band starts (stop-gradient; an extra DP fwd+bwd on
-    # detached inputs — the differentiable simple DP above is separate).
-    def nll_sum(lpl):
-        return jnp.sum(lattice_nll(lax.stop_gradient(lpb_s), lpl,
-                                   t_lens, u_lens))
-
-    gamma = -jax.grad(nll_sum)(lax.stop_gradient(lpl_s))   # (B, T, U+1) >= 0
-    bounds = prune_bounds(gamma, t_lens, u_lens, band)     # (B, T)
+    losses_simple, gamma = nll_with_occupancy(lpb_s, lpl_s, t_lens, u_lens)
+    bounds = prune_bounds(lax.stop_gradient(gamma), t_lens, u_lens, band)
 
     # 3) Banded full joint, chunked over T under remat.
     audio_p, text_p = project_sides(joint_params, audio, text)

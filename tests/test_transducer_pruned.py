@@ -154,6 +154,43 @@ def test_simple_log_probs_normalized(setup):
     np.testing.assert_allclose(np.asarray(lpl), lpl_ref, rtol=2e-4, atol=2e-4)
 
 
+def test_nll_with_occupancy_matches_autodiff():
+    """The fused losses+occupancy op must reproduce lattice_nll's value,
+    gradient (under an arbitrary per-sample cotangent), and -grad==gamma."""
+    from rnnt_tpu.ops.transducer import lattice_nll
+    from rnnt_tpu.ops.transducer_pruned import nll_with_occupancy
+
+    rng = np.random.RandomState(3)
+    lpb = jnp.asarray(rng.randn(B, T, U + 1).astype("f") - 1.0)
+    lpl = jnp.asarray(rng.randn(B, T, U + 1).astype("f") - 1.0)
+    t_lens = jnp.asarray([T, 12, 9])
+    u_lens = jnp.asarray([U, 5, 3])
+    w = jnp.asarray(rng.rand(B).astype("f") + 0.5)
+
+    losses, gamma = nll_with_occupancy(lpb, lpl, t_lens, u_lens)
+    ref = lattice_nll(lpb, lpl, t_lens, u_lens)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def via_op(a, b):
+        ls, _ = nll_with_occupancy(a, b, t_lens, u_lens)
+        return jnp.sum(w * ls)
+
+    def via_ref(a, b):
+        return jnp.sum(w * lattice_nll(a, b, t_lens, u_lens))
+
+    g_op = jax.grad(via_op, (0, 1))(lpb, lpl)
+    g_ref = jax.grad(via_ref, (0, 1))(lpb, lpl)
+    for a, b in zip(g_op, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    gamma_ref = -jax.grad(lambda b: jnp.sum(
+        lattice_nll(lpb, b, t_lens, u_lens)))(lpl)
+    np.testing.assert_allclose(np.asarray(gamma), np.asarray(gamma_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_gradients_flow_and_finite(setup):
     jp, audio, text, targets, t_lens, u_lens = setup
 
