@@ -53,8 +53,11 @@ def _shard(batch, mesh):
     return {k: jax.device_put(v, sh[k]) for k, v in batch.items()}
 
 
-def _run_steps(mesh_shape, n_steps=2):
+def _run_steps(mesh_shape, n_steps=2, loss_impl=None):
     cfg = _tiny_cfg()
+    if loss_impl:
+        cfg.training.loss_impl = loss_impl
+        cfg.training.pruned_band = 4
     spec = build_model_spec(cfg)
     fspec = build_featurizer_spec(cfg)
     mesh = make_mesh(*mesh_shape)
@@ -83,6 +86,16 @@ def test_dp_matches_single_device():
     """Same global batch, same init: 8-way DP loss == single-device loss."""
     losses_1 = _run_steps((1, 1))
     losses_8 = _run_steps((8, 1))
+    np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4, atol=2e-4)
+    assert all(np.isfinite(losses_1))
+
+
+def test_dp_matches_single_device_pruned_loss():
+    """The pruned loss (banded joint + occupancy bounds, all batch-pure
+    XLA except the Pallas DP with its own partitioning rule) must give the
+    same loss under 8-way DP as on one device."""
+    losses_1 = _run_steps((1, 1), loss_impl="pruned")
+    losses_8 = _run_steps((8, 1), loss_impl="pruned")
     np.testing.assert_allclose(losses_1, losses_8, rtol=2e-4, atol=2e-4)
     assert all(np.isfinite(losses_1))
 

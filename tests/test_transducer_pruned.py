@@ -223,6 +223,59 @@ def test_grad_clamp_bounds_logit_grads(setup):
     assert float(jnp.abs(g_clamped).max()) < float(jnp.abs(g_free).max())
 
 
+def test_fused_banded_path_matches_chunked(monkeypatch):
+    """RNNT_PRUNED_IMPL=fused (banded joint through the Pallas fused
+    kernel, interpret mode on CPU) must match the chunked XLA path —
+    same tile-granular bounds, same cells, same loss and gradients."""
+    rng = np.random.RandomState(5)
+    T2 = 32  # two 16-frame bound tiles
+    spec = JointSpec(audio_features=H, text_features=H,
+                     hidden_features=24, num_classes=V)
+    jp = joint_init(jax.random.PRNGKey(2), spec, simple=True)
+    audio = jnp.asarray(rng.randn(B, T2, H).astype("f") * 0.3)
+    text = jnp.asarray(rng.randn(B, U + 1, H).astype("f") * 0.3)
+    targets = jnp.asarray(rng.randint(0, V - 1, (B, U)), jnp.int32)
+    t_lens = jnp.asarray([32, 24, 17])
+    u_lens = jnp.asarray([9, 5, 3])
+
+    def loss(p, impl):
+        monkeypatch.setenv("RNNT_PRUNED_IMPL", impl)
+        return pruned_transducer_loss(
+            p, audio, text, targets, t_lens, u_lens, BLANK, band=8,
+            simple_scale=0.5, pruned_scale=1.0, chunk_size=16)
+
+    l_chunked, g_chunked = jax.value_and_grad(loss)(jp, "chunked")
+    l_fused, g_fused = jax.value_and_grad(loss)(jp, "fused")
+    np.testing.assert_allclose(float(l_chunked), float(l_fused),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_chunked),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_degenerate_target_rate_is_bounded(monkeypatch):
+    """u_len > n_tiles*(band-1) (too many labels for the band's rate cap)
+    must yield a large-but-capped pruned loss, not 1e30/NaN."""
+    monkeypatch.setenv("RNNT_PRUNED_IMPL", "chunked")
+    rng = np.random.RandomState(6)
+    spec = JointSpec(audio_features=H, text_features=H,
+                     hidden_features=24, num_classes=V)
+    jp = joint_init(jax.random.PRNGKey(3), spec, simple=True)
+    audio = jnp.asarray(rng.randn(2, 16, H).astype("f"))  # ONE bound tile
+    text = jnp.asarray(rng.randn(2, U + 1, H).astype("f"))
+    targets = jnp.asarray(rng.randint(0, V - 1, (2, U)), jnp.int32)
+    t_lens = jnp.asarray([16, 16])
+    u_lens = jnp.asarray([9, 2])  # 9 > 1*(4-1): degenerate; 2 fits
+    losses = pruned_transducer_loss(
+        jp, audio, text, targets, t_lens, u_lens, BLANK, band=4,
+        simple_scale=0.0, pruned_scale=1.0, chunk_size=16,
+        reduction="none")
+    assert np.all(np.isfinite(np.asarray(losses)))
+    assert float(losses[0]) <= 1e6 + 1.0
+    assert float(losses[1]) < 1e4  # the feasible sample stays normal
+
+
 def test_train_step_integration():
     """loss_impl='pruned' through make_loss_fn + value_and_grad on the tiny
     config: finite loss, finite grads, simple heads created by rnnt_init."""
