@@ -41,6 +41,10 @@ class FeaturizerConfig:
     sample_rate: int = 16000
     mean: Any = 15.0           # float or list (per-channel)
     invstddev: Any = 0.25
+    # torch.stft-style centered framing (reflect pad); the reference's
+    # 80-mel variant inherits center=True from torchaudio defaults, the
+    # TFJS streaming variants use center=False.
+    center: bool = False
     # Path to a global_features.json with per-channel stats (overrides
     # mean/invstddev when set; reference rnnt/calc_global_features.py:94-101).
     global_stats: str = ""
@@ -249,8 +253,45 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
         leaf = parts[-1]
         if not hasattr(obj, leaf):
             raise KeyError(f"unknown config key {path!r}")
-        setattr(obj, leaf, yaml.safe_load(raw))
+        setattr(obj, leaf, _coerce(yaml.safe_load(raw), getattr(obj, leaf),
+                                   path))
     return cfg
+
+
+def _coerce(value, current, path: str):
+    """Coerce a YAML-parsed override to the existing field's type.
+
+    PyYAML is YAML 1.1: ``1e-4`` (no dot before the exponent) parses as the
+    STRING ``"1e-4"``, so ``training.optimizer.lr=1e-4`` would silently
+    assign a str without this.  int->float widens; anything else that
+    doesn't match the current field's type raises."""
+    if current is None or value is None:
+        return value
+    want = type(current)
+    if isinstance(value, want) and not (want is float and
+                                        isinstance(value, bool)):
+        return value
+    if want is float and isinstance(value, (int, str)) and not isinstance(
+            value, bool):
+        try:
+            return float(value)
+        except ValueError:
+            pass
+    if want is int and isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            pass
+    if want is bool and isinstance(value, str):
+        low = value.lower()
+        if low in ("true", "false"):
+            return low == "true"
+    if isinstance(current, (list, tuple)) and isinstance(value,
+                                                         (list, tuple)):
+        return want(value)
+    raise ValueError(
+        f"override {path!r}: cannot coerce {value!r} "
+        f"({type(value).__name__}) to {want.__name__}")
 
 
 def config_to_dict(cfg: Config) -> dict:
@@ -277,7 +318,7 @@ def build_featurizer_spec(cfg: Config) -> FeaturizerSpec:
     return FeaturizerSpec(
         n_fft=fc.n_fft, win_length=fc.win_length, hop_length=fc.hop_length,
         num_mels=fc.num_mels if fc.kind == "mel" else 0,
-        sample_rate=fc.sample_rate, log_mode=log_mode,
+        sample_rate=fc.sample_rate, log_mode=log_mode, center=fc.center,
         mean=tuple(mean) if isinstance(mean, (list, tuple)) else float(mean),
         invstddev=(tuple(invstd) if isinstance(invstd, (list, tuple))
                    else float(invstd)),
@@ -328,6 +369,18 @@ def build_model_spec(cfg: Config) -> RNNTSpec:
         text_features=cfg.joint.text_features,
         hidden_features=cfg.joint.hidden_features,
         num_classes=cfg.num_total_symbols)
+
+    if cfg.training.loss_impl == "pruned" and cfg.training.lattice_shard_t:
+        # The pruned banded DP never materializes the full-T lattice per
+        # device the way lattice_shard_t addresses (its band is O(T*band)),
+        # and the two code paths don't compose — fail at config build
+        # rather than silently dropping the sharding flag.
+        raise ValueError(
+            "training.lattice_shard_t is not supported with "
+            "training.loss_impl='pruned': the banded lattice is already "
+            "O(T*band) per device; use loss_impl='chunked' (or 'auto') for "
+            "the T-sharded lattice, or drop lattice_shard_t for the pruned "
+            "loss")
 
     return RNNTSpec(encoder=encoder, predictor=predictor, joint=joint,
                     loss_chunk_size=cfg.training.loss_chunk_size,

@@ -149,7 +149,7 @@ class Buckets:
     def from_frames(cls, frame_buckets: Sequence[int],
                     token_buckets: Sequence[int],
                     spec: FeaturizerSpec) -> "Buckets":
-        samples = tuple(spec.win_length + (f - 1) * spec.hop_length
+        samples = tuple(spec.samples_for_frames(f)
                         for f in sorted(frame_buckets))
         return cls(samples, tuple(sorted(token_buckets)))
 

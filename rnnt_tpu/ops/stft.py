@@ -52,6 +52,15 @@ class FeaturizerSpec:
     slope: float = 50.0
     mean: tuple | float = 15.0        # scalar or per-channel tuple
     invstddev: tuple | float = 0.25
+    # torch.stft-style centering: reflect-pad the waveform by n_fft//2 on
+    # both sides so frame t is centered at t*hop.  The reference's mel
+    # variant inherits this from torchaudio's Spectrogram default
+    # (center=True, pad_mode="reflect"); the TFJS variants pass
+    # center=False explicitly (rnnt/featurizer.py:88,139).  Centered
+    # featurizers are not streamable (the left reflect pad needs future
+    # samples' worth of lookahead bookkeeping) — FeatureStreamer rejects
+    # them.
+    center: bool = False
 
     @property
     def num_bins(self) -> int:
@@ -59,13 +68,23 @@ class FeaturizerSpec:
 
     @property
     def overlap(self) -> int:
-        """Samples of history a streaming chunk must keep: win - hop."""
-        return self.win_length - self.hop_length
+        """Samples of history a streaming chunk must keep: frame - hop."""
+        return self.n_fft - self.hop_length
 
     def num_frames(self, num_samples: int) -> int:
-        if num_samples < self.win_length:
+        # torch.stft frames over n_fft samples (the win_length window is
+        # zero-padded to n_fft inside the frame when shorter).
+        if self.center:
+            return num_samples // self.hop_length + 1
+        if num_samples < self.n_fft:
             return 0
-        return (num_samples - self.win_length) // self.hop_length + 1
+        return (num_samples - self.n_fft) // self.hop_length + 1
+
+    def samples_for_frames(self, frames: int) -> int:
+        """Smallest sample count yielding exactly ``frames`` frames."""
+        if self.center:
+            return max((frames - 1) * self.hop_length, 0)
+        return self.n_fft + (frames - 1) * self.hop_length
 
 
 def _hann(win_length: int) -> np.ndarray:
@@ -75,17 +94,22 @@ def _hann(win_length: int) -> np.ndarray:
 
 
 def _dft_basis(spec: FeaturizerSpec) -> np.ndarray:
-    """Windowed real-DFT basis, shape (win, 1, 2*(n_fft//2+1)): all cosines
-    then all sines.  Conv with this at the hop stride == onesided STFT."""
+    """Windowed real-DFT basis, shape (n_fft, 1, 2*(n_fft//2+1)): all
+    cosines then all sines.  Conv with this at the hop stride == onesided
+    STFT.  A win_length < n_fft window is zero-padded symmetrically inside
+    the n_fft frame, matching torch.stft's window placement."""
     bins = spec.n_fft // 2 + 1
-    k = np.arange(spec.win_length)[:, None]
+    k = np.arange(spec.n_fft)[:, None]
     f = np.arange(bins)[None, :]
     angle = 2.0 * np.pi * f * k / spec.n_fft
-    window = _hann(spec.win_length)[:, None]
+    window = np.zeros(spec.n_fft, np.float32)
+    left = (spec.n_fft - spec.win_length) // 2
+    window[left:left + spec.win_length] = _hann(spec.win_length)
+    window = window[:, None]
     real = (np.cos(angle) * window).astype(np.float32)
     imag = (-np.sin(angle) * window).astype(np.float32)
-    basis = np.concatenate([real, imag], axis=1)  # (win, 2*bins)
-    return basis[:, None, :]  # (win, 1, 2*bins) for HIO conv layout
+    basis = np.concatenate([real, imag], axis=1)  # (n_fft, 2*bins)
+    return basis[:, None, :]  # (n_fft, 1, 2*bins) for HIO conv layout
 
 
 def _mel_filterbank(spec: FeaturizerSpec) -> np.ndarray:
@@ -146,7 +170,11 @@ def make_featurizer(spec: FeaturizerSpec):
         squeeze = waveform.ndim == 1
         if squeeze:
             waveform = waveform[None, :]
-        x = waveform.astype(jnp.float32)[:, :, None]  # (B, L, 1)
+        x = waveform.astype(jnp.float32)
+        if spec.center:
+            pad = spec.n_fft // 2
+            x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+        x = x[:, :, None]  # (B, L, 1)
         stft = lax.conv_general_dilated(
             x, basis,
             window_strides=(spec.hop_length,),
@@ -184,6 +212,10 @@ class FeatureStreamer:
     """
 
     def __init__(self, spec: FeaturizerSpec):
+        if spec.center:
+            raise ValueError(
+                "centered featurizers are not streamable; use a "
+                "center=False (TFJS-variant) spec for streaming")
         self.spec = spec
         self.featurize = jax.jit(make_featurizer(spec))
         self.reset()

@@ -79,14 +79,26 @@ def simple_joint_log_probs(simple_params, audio, text, targets, u_lens,
 
     B = targets.shape[0]
     U1 = text.shape[1]
+    V = am.shape[-1]
     tgt_pad = jnp.concatenate(
         [targets, jnp.zeros((B, 1), dtype=targets.dtype)], axis=1)  # (B, U+1)
-    am_lbl = jnp.take_along_axis(
-        am, tgt_pad[:, None, :].astype(jnp.int32), axis=-1)  # (B, T, U+1)
-    lm_lbl = jnp.take_along_axis(
-        lm, tgt_pad[:, :, None].astype(jnp.int32), axis=-1)[..., 0]  # (B, U+1)
+    # Label/blank selection as one-hot einsums, not V-axis gathers: under
+    # tensor parallelism am/lm are V-sharded, and a gather on the sharded
+    # axis forces GSPMD to all-gather the operand (and XLA transposes the
+    # gather into a TPU scatter-add in backward) — the einsum contracts V
+    # into a psum'd MXU matmul both ways.
+    oh = jax.nn.one_hot(tgt_pad, V, dtype=f32)               # (B, U+1, V)
+    am_lbl = jnp.einsum("btv,buv->btu", am, oh,
+                        preferred_element_type=f32)          # (B, T, U+1)
+    lm_lbl = jnp.einsum("buv,buv->bu", lm, oh,
+                        preferred_element_type=f32)          # (B, U+1)
+    bh = jax.nn.one_hot(blank, V, dtype=f32)                 # (V,)
+    am_blank = jnp.einsum("btv,v->bt", am, bh,
+                          preferred_element_type=f32)
+    lm_blank = jnp.einsum("buv,v->bu", lm, bh,
+                          preferred_element_type=f32)
 
-    lp_blank = am[..., blank][:, :, None] + lm[..., blank][:, None, :] - z
+    lp_blank = am_blank[:, :, None] + lm_blank[:, None, :] - z
     lp_label = am_lbl + lm_lbl[:, None, :] - z
     u_mask = jnp.arange(U1)[None, :] < u_lens[:, None]
     lp_label = jnp.where(u_mask[:, None, :], lp_label, NEG)
@@ -140,10 +152,14 @@ nll_with_occupancy.defvjp(_nwo_fwd, _nwo_bwd)
 def prune_bounds(gamma, t_lens, u_lens, band: int):
     """Band starts s: (B, T) int32 from label-occupancy gamma (B, T, U+1).
 
-    Guarantees (see module docstring):  0 <= s <= U1-band;  s[:, 0] == 0;
-    s non-decreasing with s[t+1]-s[t] <= band-1;  for t >= t_len-1,
+    Guarantees (see module docstring):  0 <= s <= U1-band;  s non-
+    decreasing with s[t+1]-s[t] <= band-1;  for t >= t_len-1,
     s == clip(u_len-band+1, 0, U1-band) so the final cell (t_len-1, u_len)
-    is in-band whenever reachable.
+    is ALWAYS in-band (the end pin wins over the jump cap — enforced by a
+    reverse pull-up pass);  s[:, 0] == 0 for every feasible sample
+    (u_len <= (ceil(t_len/tile)-1)*(band-1); infeasible ones start the
+    band higher, their pruned loss hits the degenerate cap, and the simple
+    loss still trains them).
     """
     B, T, U1 = gamma.shape
     S = min(band, U1)
@@ -161,19 +177,23 @@ def prune_bounds(gamma, t_lens, u_lens, band: int):
 
     # Monotone non-decreasing.
     mono = lax.cummax(raw, axis=1)
-    # Cap jumps at S-1 by pulling DOWN (preserves s[0]=0 and monotonicity):
-    # s[t] = min(mono[t], s[t-1] + (S-1)).  Maps x -> min(m, x+k) compose
-    # to the same form, so this is an associative scan:
-    #   (m2,k2) after (m1,k1) = (min(m2, m1+k2), k1+k2).
-    k = jnp.full_like(mono, S - 1)
-
-    def combine(f, g):  # g applied after f
-        mf, kf = f
-        mg, kg = g
-        return jnp.minimum(mg, mf + kg), kf + kg
-
-    m_scan, k_scan = lax.associative_scan(combine, (mono, k), axis=1)
-    s = jnp.minimum(m_scan, k_scan - (S - 1))  # x0 = s[0] = 0 = mono[:, 0]
+    # Cap jumps at S-1 in two passes.  Forward pulls later bounds DOWN:
+    # s[t] = min(mono[t], s[t-1]+(S-1)) = min_{j<=t} mono[j] + (t-j)(S-1),
+    # a min-plus prefix scan whose closed form is ramp + cummin(mono-ramp).
+    # That pass can pull the END PIN below `final` when early occupancy
+    # sits at low u (then the final lattice cell falls out of band and the
+    # sample's pruned gradient vanishes), so re-pin and run the mirror-
+    # image reverse max-plus pass pulling earlier bounds UP:
+    # s[t] = max_{j>=t} s[j] - (j-t)(S-1)  (k2's
+    # adjust_pruning_lower_bound).  Both passes preserve monotonicity and
+    # the jump cap; the reverse pass preserves the pin, and s[0] stays 0
+    # for feasible samples because the forward pass guarantees
+    # s[j] <= j*(S-1).
+    k = S - 1
+    ramp = (jnp.arange(T, dtype=jnp.int32) * k)[None, :]
+    s = ramp + lax.cummin(mono - ramp, axis=1)
+    s = jnp.where(t_ids >= (t_lens - 1)[:, None], final[:, None], s)
+    s = ramp + lax.cummax(s - ramp, axis=1, reverse=True)
     return lax.stop_gradient(s.astype(jnp.int32))
 
 
@@ -407,6 +427,14 @@ def pruned_transducer_loss(joint_params, audio, text, targets, t_lens,
     U1 = text.shape[1]
     impl = _resolve_pruned_impl()
     if impl == "fused":
+        from rnnt_tpu.ops.transducer_pallas import T_TILE
+        if bounds_tile % T_TILE != 0:
+            # Mosaic would only reject this at TPU compile time (CPU
+            # interpret mode doesn't enforce tile granularity) — fail
+            # loudly at trace time instead.
+            raise ValueError(
+                f"bounds_tile={bounds_tile} must be a multiple of the fused "
+                f"kernel's T tile ({T_TILE}) on the fused path")
         band = -(-band // 8) * 8
     band = min(band, U1)
     tile = bounds_tile

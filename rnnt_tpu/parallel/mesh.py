@@ -47,6 +47,13 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 _TP_RULES: list[tuple[tuple[str, ...], P]] = [
     (("joint", "out", "w"), P(None, "model")),       # (H, V): shard vocab
     (("joint", "out", "b"), P("model")),
+    # Pruned-loss simple joint heads (Da, V)/(Dt, V): shard vocab like the
+    # main joint output so the factored loss's V-dim matmuls stay sharded
+    # (simple_joint_log_probs uses one-hot einsums, never a V-axis gather).
+    (("joint", "simple", "am", "w"), P(None, "model")),
+    (("joint", "simple", "am", "b"), P("model")),
+    (("joint", "simple", "lm", "w"), P(None, "model")),
+    (("joint", "simple", "lm", "b"), P("model")),
     (("encoder", "out", "w"), P(None, "model")),     # (C_epi, H): shard H
     (("encoder", "out", "b"), P("model")),
     (("predictor", "linear", "w"), P(None, "model")),  # (D, H): shard H

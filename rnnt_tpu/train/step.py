@@ -31,7 +31,10 @@ class TrainState(NamedTuple):
 
 def feature_lens_from_samples(audio_lens: jax.Array,
                               fspec: FeaturizerSpec) -> jax.Array:
-    n = (audio_lens - fspec.win_length) // fspec.hop_length + 1
+    if fspec.center:
+        n = audio_lens // fspec.hop_length + 1
+    else:
+        n = (audio_lens - fspec.n_fft) // fspec.hop_length + 1
     return jnp.maximum(n, 0).astype(jnp.int32)
 
 
@@ -45,6 +48,12 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
     exception is ``spec.lattice_shard_t`` — the T-sharded lattice
     (ops/lattice_tshard.py) is a shard_map program and needs the concrete
     mesh at trace time."""
+    if spec.loss_impl == "pruned" and getattr(spec, "lattice_shard_t", False):
+        # Also rejected at config build (config/config.py build_model_spec);
+        # guard here too for specs constructed directly.
+        raise ValueError("lattice_shard_t does not compose with "
+                         "loss_impl='pruned' (the banded lattice is already "
+                         "O(T*band) per device)")
     if not getattr(spec, "lattice_shard_t", False):
         mesh = None
     featurize = make_featurizer(fspec)

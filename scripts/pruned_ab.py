@@ -1,0 +1,101 @@
+"""Exact-vs-pruned training A/B: does the pruned loss actually LEARN?
+
+Runs the same overfit recipe the round-1 exact-path proof used (tiny_conv,
+synthetic corpus, eval-on-train, deterministic seeds: rnnt_init PRNGKey(0),
+shuffle seed = epoch, step rng PRNGKey(42) — identical across variants) once
+per loss variant, and tabulates the WER trajectory plus each variant's own
+loss curve from metrics.jsonl.  WER is the cross-objective comparable
+signal: the pruned objective (0.5*simple + 1.0*banded) is not numerically
+comparable to the exact NLL, but both runs decode with the same greedy
+decoder on the same data.
+
+Usage (ONE process at a time on the remote-TPU host):
+    python scripts/pruned_ab.py                 # TPU, bands 8/16 + exact
+    python scripts/pruned_ab.py --platform cpu --bands 8 --steps 120
+
+Writes docs/pruned_ab.json and prints a markdown table for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def run_variant(name: str, overrides: list[str], steps: int,
+                output_base: str) -> dict:
+    from rnnt_tpu.cli.train import resolve_config
+    from rnnt_tpu.config.config import apply_overrides, load_config
+    from rnnt_tpu.train.loop import train
+
+    cfg = load_config(resolve_config("tiny_conv"))
+    cfg.data.eval_on_train = True
+    cfg.data.augment = False
+    cfg.training.num_epochs = 1000          # max_steps is the stop signal
+    cfg.training.total_steps = steps
+    cfg.training.log_steps = 25
+    cfg.training.eval_steps = 100
+    cfg.training.checkpoint_steps = 10 ** 9  # no checkpoints mid-A/B
+    cfg.training.eval_max_elements = 128
+    apply_overrides(cfg, overrides)
+    cfg.model_name = f"pruned_ab_{name}"
+
+    final_wer = train(cfg, output_base=output_base, max_steps=steps)
+
+    run_dir = Path(output_base) / cfg.model_name
+    latest = sorted((p for p in run_dir.glob("run-*")
+                     if (p / "metrics.jsonl").exists()),
+                    key=lambda p: int(p.name.split("-")[1]))[-1]
+    curve, wers = [], []
+    with open(latest / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "loss/train" in rec:
+                curve.append((rec["step"], rec["loss/train"]))
+            if "wer/eval" in rec:
+                wers.append((rec["step"], rec["wer/eval"]))
+    return {"name": name, "final_wer": final_wer, "loss_curve": curve,
+            "wer_curve": wers, "run_dir": str(latest)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--bands", type=int, nargs="*", default=[8, 16])
+    ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--output-base", default="experiments")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    variants = []
+    if not args.skip_exact:
+        variants.append(("exact", ["training.loss_impl=auto"]))
+    for band in args.bands:
+        variants.append((f"pruned{band}", [
+            "training.loss_impl=pruned",
+            f"training.pruned_band={band}"]))
+
+    results = [run_variant(name, ovr, args.steps, args.output_base)
+               for name, ovr in variants]
+
+    out = Path("docs")
+    out.mkdir(exist_ok=True)
+    with open(out / "pruned_ab.json", "w") as f:
+        json.dump({"steps": args.steps, "results": results}, f, indent=1)
+
+    print("\n| variant | " + " | ".join(
+        f"WER@{s}" for s, _ in results[0]["wer_curve"]) + " | final loss |")
+    print("|---|" + "---|" * (len(results[0]["wer_curve"]) + 1))
+    for r in results:
+        wer_cells = " | ".join(f"{w:.3f}" for _, w in r["wer_curve"])
+        print(f"| {r['name']} | {wer_cells} | "
+              f"{r['loss_curve'][-1][1]:.3f} |")
+
+
+if __name__ == "__main__":
+    main()

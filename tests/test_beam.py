@@ -97,6 +97,132 @@ def test_window_skip_equals_frame_at_a_time():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_beam_matches_exhaustive_search_on_tiny_lattice():
+    """Optimality oracle (VERDICT r2 weak #7): on a lattice small enough to
+    enumerate EVERY label sequence (T=3, U<=3, V=5 -> 85 sequences), beam
+    search with K >= #sequences and path merging must return the true
+    maximum-probability label sequence, with its exact marginal
+    (sum-over-alignments) log-probability as computed by the transducer
+    loss DP.  This pins the pruning/expansion/merge semantics as *correct*
+    rather than merely self-consistent."""
+    from itertools import product
+
+    from rnnt_tpu.models.predictor import conv_predictor_apply
+    from rnnt_tpu.ops.transducer import transducer_loss
+
+    H, V, T, U = 16, 5, 3, 3
+    blank = V - 1
+    pspec = ConvPredictorSpec(num_symbols=V, output_dim=H,
+                              symbol_embedding_dim=8, dropout=0.0)
+    jspec = JointSpec(audio_features=-1, text_features=-1,
+                      hidden_features=H, num_classes=V)
+    params = {
+        "predictor": conv_predictor_init(jax.random.PRNGKey(31), pspec),
+        "joint": joint_init(jax.random.PRNGKey(32), jspec)}
+    audio = jax.random.normal(jax.random.PRNGKey(33), (2, T, H)) * 0.8
+    t_lens = jnp.array([3, 2])
+
+    # All label sequences of length 0..U over the V-1 real labels.
+    seqs = [list(s) for n in range(U + 1)
+            for s in product(range(V - 1), repeat=n)]
+    N = len(seqs)
+    assert N == 85
+    targets = np.full((N, U), 0, np.int32)
+    u_lens = np.zeros((N,), np.int32)
+    for i, s in enumerate(seqs):
+        targets[i, : len(s)] = s
+        u_lens[i] = len(s)
+
+    # Exact -log P(y|x): the full-lattice DP over the same predictor
+    # features the beam's incremental stepper produces.
+    prepended = jnp.concatenate(
+        [jnp.full((N, 1), blank, jnp.int32), jnp.asarray(targets)], axis=1)
+    text = conv_predictor_apply(params["predictor"], prepended, pspec)
+
+    for b in range(2):
+        tl = jnp.full((N,), int(t_lens[b]), jnp.int32)
+        losses = transducer_loss(
+            params["joint"], jnp.tile(audio[b : b + 1], (N, 1, 1)), text,
+            jnp.asarray(targets), tl, jnp.asarray(u_lens), blank,
+            chunk_size=4, reduction="none")
+        exact_lp = -np.asarray(losses)
+        best = int(np.argmax(exact_lp))
+
+        tokens, counts, scores = jax.jit(lambda p, a, tl_: beam_decode(
+            p, a, tl_, pspec, jspec, beam_width=96, max_tokens=U,
+            expansions_per_frame=U, length_norm=False, merge_paths=True))(
+            params, audio[b : b + 1], t_lens[b : b + 1])
+        got = list(np.asarray(tokens[0, : int(counts[0])]))
+        assert got == seqs[best], (
+            f"lane {b}: beam {got} != exhaustive best {seqs[best]} "
+            f"(beam score {float(scores[0]):.6f}, "
+            f"exact {exact_lp[best]:.6f})")
+        np.testing.assert_allclose(float(scores[0]), exact_lp[best],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_beam8_wer_not_worse_than_greedy_on_overfit_model():
+    """On a model overfit to a few synthetic utterances, beam-8 must decode
+    at least as accurately as greedy (BASELINE.json config #4's acceptance
+    shape).  Token-level edit distance stands in for word-level WER."""
+    from rnnt_tpu.config.config import build_featurizer_spec, build_model_spec
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.optim import make_optimizer
+    from rnnt_tpu.train.step import (
+        TrainState,
+        make_eval_forward,
+        make_train_step,
+    )
+    from tests.test_train_sharding import _batch, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    cfg.training.optimizer.lr = 3e-3
+    cfg.training.lr_schedule.warmup_steps = 20
+    spec = build_model_spec(cfg)
+    fspec = build_featurizer_spec(cfg)
+    tx, _ = make_optimizer(cfg.training, total_steps=400)
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    opt_state = jax.jit(tx.init)(params)
+    state = TrainState(params, opt_state, model_state,
+                       jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(spec, fspec, tx, cfg.training.precision))
+    batch = {k: jnp.asarray(v)
+             for k, v in _batch(fspec, B=4, U=8, vocab=64, seed=42).items()}
+    for _ in range(300):
+        state, metrics = step(state, batch, jax.random.PRNGKey(5))
+
+    fwd = jax.jit(make_eval_forward(spec, fspec, cfg.training.precision))
+    enc, t_lens = fwd(state.params, state.model_state, batch)
+
+    def edit(a, b):
+        d = np.arange(len(b) + 1)
+        for i, x in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, y in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (x != y))
+        return d[-1]
+
+    g_tok, g_n = jax.jit(lambda p, a, tl: greedy_decode(
+        p, a, tl, spec.predictor, spec.joint, max_tokens=16,
+        max_symbols_per_step=3))(state.params, enc, t_lens)
+    b_tok, b_n, _ = jax.jit(lambda p, a, tl: beam_decode(
+        p, a, tl, spec.predictor, spec.joint, beam_width=8,
+        max_tokens=16))(state.params, enc, t_lens)
+
+    errs_g = errs_b = total = 0
+    for i in range(4):
+        ref = list(np.asarray(
+            batch["targets"][i, : int(batch["target_lens"][i])]))
+        errs_g += edit(list(np.asarray(g_tok[i, : int(g_n[i])])), ref)
+        errs_b += edit(list(np.asarray(b_tok[i, : int(b_n[i])])), ref)
+        total += len(ref)
+    # The model must have learned something for the comparison to mean
+    # anything, and beam-8 must not decode worse than greedy.
+    assert errs_g < total, (errs_g, total)
+    assert errs_b <= errs_g, (errs_b, errs_g)
+
+
 def test_merge_does_not_lose_mass_vs_no_merge():
     # Path-merging can only add probability mass to the surviving
     # hypothesis: the best merged score must be >= the best unmerged one.

@@ -134,6 +134,79 @@ def test_prune_bounds_invariants(setup):
             assert sf <= int(u_lens[b]) < sf + band
 
 
+def test_prune_bounds_end_pin_beats_jump_cap():
+    """Adversarial case (advisor round-2 repro): ALL occupancy mass at low
+    u, so the raw/monotone bounds stay at 0 and the forward jump cap alone
+    would pull the pinned final frame below its target — the final cell
+    (t_len-1, u_len) would fall out of band and the sample's pruned
+    gradient would vanish.  The reverse pull-up pass must preserve the end
+    pin while keeping monotonicity and the jump cap."""
+    Tt, U1 = 5, 16  # 5 bound tiles
+    band = 4
+    gamma = np.zeros((2, Tt, U1), np.float32)
+    gamma[:, :, 0] = 1.0  # mass at u=0 everywhere (uninformative init)
+    t_lens = jnp.asarray([5, 5])
+    u_lens = jnp.asarray([9, 12])  # feasible: 9,12 <= 4*(4-1)=12
+    s = np.asarray(prune_bounds(jnp.asarray(gamma), t_lens, u_lens, band))
+    for b, ul in enumerate((9, 12)):
+        pin = min(max(ul - band + 1, 0), U1 - band)
+        assert s[b, -1] == pin, (b, s[b], pin)
+        assert s[b, -1] <= ul < s[b, -1] + band  # final cell in-band
+    assert np.all(s[:, 0] == 0)
+    d = np.diff(s, axis=1)
+    assert np.all(d >= 0) and np.all(d <= band - 1)
+    # Infeasible sample (u_len > (t_len-1)*(band-1)): the pin still wins;
+    # s[0] is allowed to rise above 0.
+    u_bad = jnp.asarray([14, 14])
+    s2 = np.asarray(prune_bounds(jnp.asarray(gamma), t_lens, u_bad, band))
+    assert np.all(s2[:, -1] == 14 - band + 1)
+    assert np.all(np.diff(s2, axis=1) >= 0)
+    assert np.all(np.diff(s2, axis=1) <= band - 1)
+
+
+def test_pruned_grad_reaches_adversarial_sample():
+    """End-to-end version of the pin fix: a sample whose simple-joint
+    occupancy is pathologically concentrated early must still get a
+    nonzero pruned gradient (pre-fix its loss hit the 1e6 cap)."""
+    rng = np.random.RandomState(7)
+    T2 = 16  # one bound tile of 16 frames... use chunked impl, tile=16
+    spec = JointSpec(audio_features=H, text_features=H,
+                     hidden_features=24, num_classes=V)
+    jp = joint_init(jax.random.PRNGKey(4), spec, simple=True)
+    # Bias the simple lm head so blank dominates: occupancy stays at low u.
+    jp["simple"]["lm"]["b"] = jp["simple"]["lm"]["b"].at[BLANK].set(8.0)
+    audio = jnp.asarray(rng.randn(1, 48, H).astype("f") * 0.1)
+    text = jnp.asarray(rng.randn(1, U + 1, H).astype("f") * 0.1)
+    targets = jnp.asarray(rng.randint(0, V - 1, (1, U)), jnp.int32)
+    t_lens = jnp.asarray([48])
+    u_lens = jnp.asarray([9])
+
+    def loss(a):
+        return pruned_transducer_loss(
+            jp, a, text, targets, t_lens, u_lens, BLANK, band=4,
+            simple_scale=0.0, pruned_scale=1.0, chunk_size=16,
+            reduction="none")[0]
+
+    val, g = jax.value_and_grad(loss)(audio)
+    assert float(val) < 1e5, "pruned loss must not hit the degenerate cap"
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_fused_bounds_tile_validation(monkeypatch):
+    monkeypatch.setenv("RNNT_PRUNED_IMPL", "fused")
+    rng = np.random.RandomState(8)
+    spec = JointSpec(audio_features=H, text_features=H,
+                     hidden_features=24, num_classes=V)
+    jp = joint_init(jax.random.PRNGKey(5), spec, simple=True)
+    audio = jnp.asarray(rng.randn(1, 16, H).astype("f"))
+    text = jnp.asarray(rng.randn(1, U + 1, H).astype("f"))
+    targets = jnp.asarray(rng.randint(0, V - 1, (1, U)), jnp.int32)
+    with pytest.raises(ValueError, match="bounds_tile"):
+        pruned_transducer_loss(
+            jp, audio, text, targets, jnp.asarray([16]), jnp.asarray([3]),
+            BLANK, band=8, bounds_tile=12)
+
+
 def test_simple_log_probs_normalized(setup):
     """Blank/label log-probs must come from a proper per-cell softmax:
     check against an explicit (T, U, V) materialization."""
