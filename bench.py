@@ -192,6 +192,92 @@ def bench_pipeline() -> None:
     }))
 
 
+def bench_train_e2e(device_augment: bool = False,
+                    budget_s: float = 60.0, batch_size: int = 32) -> None:
+    """HONEST end-to-end training throughput: host pipeline (full
+    fullcausal augmentation recipe, 2 workers) -> PrefetchIterator ->
+    the real jitted train step, sustained for >= ``budget_s`` wall seconds.
+    This is the number a real training run gets on this host, unlike the
+    device-only headline which times a single pre-staged batch.
+
+    --device-augment moves chorus/compressor/shaped-noise/peak into the
+    jitted step (data/augment_device.py); host workers then run only
+    atempo/pitch/trim."""
+    import jax
+    import jax.numpy as jnp
+
+    from rnnt_tpu.cli.train import resolve_config
+    from rnnt_tpu.config.config import (
+        build_featurizer_spec, build_model_spec, load_config)
+    from rnnt_tpu.data.augment import default_augmentor
+    from rnnt_tpu.data.augment_device import host_only_default_augmentor
+    from rnnt_tpu.data.dataset import (
+        BatchIterator, Buckets, synthetic_dataset)
+    from rnnt_tpu.data.pipeline import PrefetchIterator
+    from rnnt_tpu.data.tokenizer import UnigramTokenizer
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.optim import make_optimizer
+    from rnnt_tpu.train.step import TrainState, make_train_step
+
+    cfg = load_config(resolve_config("base_convjs"))
+    spec = build_model_spec(cfg)
+    fspec = build_featurizer_spec(cfg)
+    ds = synthetic_dataset(size=512, seconds=5.0)
+    tok = UnigramTokenizer.from_file("/root/reference/spm_unigram_1023.model")
+    buckets = Buckets.from_frames([512], [64], fspec)
+    augmentor = (host_only_default_augmentor() if device_augment
+                 else default_augmentor())
+
+    tx, _ = make_optimizer(cfg.training, total_steps=10000)
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    opt_state = jax.jit(tx.init)(params)
+    state = TrainState(params, opt_state, model_state,
+                       jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(spec, fspec, tx, cfg.training.precision,
+                                   device_augment=device_augment),
+                   donate_argnums=(0,))
+    rng = jax.random.PRNGKey(1)
+
+    def batches():
+        epoch = 0
+        while True:
+            it = BatchIterator(ds, tok, buckets, batch_size=batch_size,
+                               augmentor=augmentor, shuffle=True, seed=epoch,
+                               num_workers=2)
+            yield from PrefetchIterator(it, depth=4)
+            epoch += 1
+
+    gen = batches()
+    # Warmup: compile + first prefetch fill.
+    for _ in range(3):
+        batch = next(gen)
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()}, rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    audio_seconds = 0.0
+    steps = 0
+    while time.perf_counter() - t0 < budget_s:
+        batch = next(gen)
+        audio_seconds += float(np.sum(batch["audio_lens"])) / 16000.0
+        state, metrics = step(state, {k: jnp.asarray(v)
+                                      for k, v in batch.items()}, rng)
+        steps += 1
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    value = audio_seconds / dt
+    tag = "device-augment" if device_augment else "host-augment"
+    print(json.dumps({
+        "metric": f"train e2e audio-seconds/s (host pipeline + step, {tag})",
+        "value": round(value, 2),
+        "unit": "audio-seconds/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_S, 3),
+        "steps": steps,
+        "sustained_s": round(dt, 1),
+    }))
+
+
 def bench_loss(batch_size: int = 8) -> None:
     """Loss-kernel microbenchmark: fused Pallas vs XLA chunked fwd+bwd and
     the fused kernel's FLOP utilization (BASELINE.json north-star)."""
@@ -320,6 +406,9 @@ def _argval(flag, default, cast=str):
 
 
 if __name__ == "__main__":
+    if "--platform" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", _argval("--platform", ""))
     if "--decode" in sys.argv:
         bench_decode()
     elif "--beam" in sys.argv:
@@ -328,6 +417,10 @@ if __name__ == "__main__":
         bench_serve()
     elif "--pipeline" in sys.argv:
         bench_pipeline()
+    elif "--train-e2e" in sys.argv:
+        bench_train_e2e(device_augment="--device-augment" in sys.argv,
+                        budget_s=_argval("--budget", 60.0, float),
+                        batch_size=_argval("--batch", 32, int))
     elif "--loss" in sys.argv:
         bench_loss(batch_size=_argval("--batch", 8, int))
     else:

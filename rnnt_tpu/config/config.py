@@ -163,6 +163,12 @@ class DataConfig:
     num_workers: int = 2
     worker_mode: str = "thread"  # thread | process (forked row workers)
     augment: bool = True
+    # Run the vectorizable half of the augmentation recipe (chorus,
+    # compressor, shaped noise, peak level) inside the jitted train step on
+    # device (data/augment_device.py); host workers keep only the
+    # length-changing ops (atempo/pitch/trim).  Lifts the 2-CPU host feed
+    # bottleneck (bench.py --train-e2e).
+    augment_device: bool = False
     # Explicit augmentation stack: list of {kind: ..., p: ..., **kwargs}
     # dicts (see rnnt_tpu/data/augment.py AUGMENTATIONS).  Empty => the
     # default fullcausal recipe.  Mirrors the reference's Hydra-instantiated

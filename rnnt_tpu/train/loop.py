@@ -173,7 +173,17 @@ def train(cfg: Config, *, output_base: str = "experiments",
         augmentor = make_augmentor(cfg)
     elif cfg.data.augment and cfg.data.augmentations:
         from rnnt_tpu.data.augment import build_augmentor
-        augmentor = build_augmentor(cfg.data.augmentations)
+        aug_cfgs = cfg.data.augmentations
+        if cfg.data.augment_device:
+            from rnnt_tpu.data.augment_device import DEVICE_SIDE_KINDS
+            aug_cfgs = [c for c in aug_cfgs
+                        if c.get("kind") not in DEVICE_SIDE_KINDS]
+        augmentor = build_augmentor(aug_cfgs)
+    elif cfg.data.augment and cfg.data.augment_device:
+        # Host keeps only the length-changing ops; chorus/compressor/
+        # noise/peak run inside the jitted step (data/augment_device.py).
+        from rnnt_tpu.data.augment_device import host_only_default_augmentor
+        augmentor = host_only_default_augmentor()
     elif cfg.data.augment:
         from rnnt_tpu.data.augment import default_augmentor
         augmentor = default_augmentor()
@@ -231,10 +241,11 @@ def train(cfg: Config, *, output_base: str = "experiments",
         if is_main:
             print(f"Resumed from {resume} at step {int(state.step)}")
 
-    step_fn = jax.jit(make_train_step(spec, fspec, tx, tc.precision,
-                                      mesh=mesh,
-                                      spec_augment=tc.spec_augment),
-                      donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(
+        spec, fspec, tx, tc.precision, mesh=mesh,
+        spec_augment=tc.spec_augment,
+        device_augment=cfg.data.augment and cfg.data.augment_device),
+        donate_argnums=(0,))
     eval_forward = jax.jit(make_eval_forward(spec, fspec, tc.precision))
     max_eval_tokens = max(tc.token_buckets)
     decode_fn = jax.jit(lambda p, a, tl: greedy_decode(

@@ -39,7 +39,8 @@ def feature_lens_from_samples(audio_lens: jax.Array,
 
 
 def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
-                 mesh=None, spec_augment: bool = False):
+                 mesh=None, spec_augment: bool = False,
+                 device_augment: bool = False):
     """Loss over a raw-audio batch; featurization happens on device.
 
     ``mesh`` is normally unused: the Pallas loss kernels carry their own
@@ -60,7 +61,13 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     def loss_fn(params, model_state, batch, rng, training: bool):
-        feats = featurize(batch["audio"])  # (B, T, bins) f32
+        audio_in = batch["audio"]
+        if device_augment and training and rng is not None:
+            from rnnt_tpu.data.augment_device import device_augment as _da
+            rng, da_rng = jax.random.split(rng)
+            audio_in = _da(da_rng, audio_in, batch["audio_lens"],
+                           fspec.sample_rate)
+        feats = featurize(audio_in)  # (B, T, bins) f32
         if spec_augment and training and rng is not None:
             from rnnt_tpu.data.augment import spec_augment as _sa
             rng, sa_rng = jax.random.split(rng)
@@ -103,11 +110,13 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
 
 def make_train_step(spec: RNNTSpec, fspec: FeaturizerSpec, tx,
                     precision: str = "bf16", mesh=None,
-                    spec_augment: bool = False):
+                    spec_augment: bool = False,
+                    device_augment: bool = False):
     """Returns step(state, batch, rng) -> (state, metrics).  Jit/shard it
     with the shardings from rnnt_tpu.parallel."""
     loss_fn = make_loss_fn(spec, fspec, precision, mesh=mesh,
-                           spec_augment=spec_augment)
+                           spec_augment=spec_augment,
+                           device_augment=device_augment)
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)

@@ -1,0 +1,178 @@
+"""Device-side augmentation (data/augment_device.py) vs the host DSP
+(data/augment.py): op-for-op numerical parity on shared parameters, plus
+jit-safety and padding discipline of the composed device_augment."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rnnt_tpu.data import augment as host
+from rnnt_tpu.data import augment_device as dev
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.RandomState(0)
+    return (rng.randn(3, 8000).astype(np.float32) * 0.3)
+
+
+@pytest.mark.parametrize("filter_str", host.REFERENCE_CHORUS_FILTERS[:3])
+def test_chorus_matches_host(audio, filter_str):
+    a = host.augmentation_from_filter_string(filter_str)
+    expected = np.stack([a.apply(x, SR, np.random.RandomState(0))
+                         for x in audio])
+    delay, decay, speed, depth = a.taps[0]
+    got = np.asarray(dev.chorus(jnp.asarray(audio), SR, a.in_gain,
+                                a.out_gain, delay, decay, speed, depth))
+    # f32 LFO sine vs the host's f64 shifts the fractional tap by ~1e-4
+    # samples; bound the absolute error instead.
+    np.testing.assert_allclose(got, expected, atol=3e-4)
+
+
+@pytest.mark.parametrize("filter_str", host.REFERENCE_COMPRESSOR_FILTERS)
+def test_compressor_matches_host(audio, filter_str):
+    a = host.augmentation_from_filter_string(filter_str)
+    expected = np.stack([a.apply(x, SR, np.random.RandomState(0))
+                         for x in audio])
+    got = np.asarray(dev.compressor(
+        jnp.asarray(audio), SR, a.threshold_db, a.ratio, a.attack_ms,
+        a.release_ms))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_compressor_per_sample_params(audio):
+    """Batched per-sample params must equal per-sample host application of
+    the matching variant."""
+    variants = [host.augmentation_from_filter_string(f)
+                for f in host.REFERENCE_COMPRESSOR_FILTERS[:3]]
+    expected = np.stack([v.apply(x, SR, np.random.RandomState(0))
+                         for v, x in zip(variants, audio)])
+    got = np.asarray(dev.compressor(
+        jnp.asarray(audio), SR,
+        np.asarray([v.threshold_db for v in variants], np.float32),
+        np.asarray([v.ratio for v in variants], np.float32),
+        np.asarray([v.attack_ms for v in variants], np.float32),
+        np.asarray([v.release_ms for v in variants], np.float32)))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
+def test_single_pole_iir_matches_scipy():
+    from scipy.signal import lfilter
+
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 500).astype(np.float32)
+    a = np.asarray([0.9, 0.99], np.float32)
+    got = np.asarray(dev._single_pole_iir(jnp.asarray(x), a, x[:, 0]))
+    for b in range(2):
+        zi = np.array([x[b, 0] * a[b]])
+        want, _ = lfilter([1.0 - a[b]], [1.0, -a[b]], x[b], zi=zi)
+        np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-6)
+
+
+def test_shape_noise_properties():
+    rng = np.random.RandomState(2)
+    noise = jnp.asarray(rng.rand(2, 4096).astype(np.float32))
+    ratios = jnp.asarray(rng.rand(2, 8).astype(np.float32))
+    ratios = ratios / ratios.sum(axis=1, keepdims=True)
+    level = jnp.asarray([0.01, 0.002], jnp.float32)
+    out = np.asarray(dev.shape_noise(noise, ratios, level))
+    # Peak-normalized to the requested level; DC bin zeroed.
+    np.testing.assert_allclose(np.abs(out).max(axis=1),
+                               np.asarray(level), rtol=1e-4)
+    assert np.all(np.abs(out.mean(axis=1)) < 1e-4)
+    # Concentrating all envelope mass in the lowest band must shift the
+    # output's spectral centroid down vs mass in the highest band.
+    lo = np.zeros((1, 8), np.float32); lo[0, 0] = 1.0
+    hi = np.zeros((1, 8), np.float32); hi[0, -1] = 1.0
+    f = np.abs(np.fft.rfft(np.asarray(
+        dev.shape_noise(noise[:1], jnp.asarray(lo), level[:1]))[0]))
+    g = np.abs(np.fft.rfft(np.asarray(
+        dev.shape_noise(noise[:1], jnp.asarray(hi), level[:1]))[0]))
+    bins = np.arange(len(f))
+    assert (f * bins).sum() / f.sum() < (g * bins).sum() / g.sum()
+
+
+def test_peak_level_matches_host(audio):
+    a = host.PeakLevel(1.0, 0.5, 0.5)  # deterministic level 0.5
+    expected = np.stack([a.apply(x, SR, np.random.RandomState(0))
+                         for x in audio])
+    lens = jnp.full((3,), audio.shape[1], jnp.int32)
+    got = np.asarray(dev.peak_level(jnp.asarray(audio), lens,
+                                    jnp.full((3,), 0.5)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_peak_level_ignores_padding(audio):
+    """The peak must come from the in-length region only."""
+    padded = np.concatenate(
+        [audio, np.full((3, 100), 9.9, np.float32)], axis=1)
+    lens = jnp.full((3,), audio.shape[1], jnp.int32)
+    got = np.asarray(dev.peak_level(jnp.asarray(padded), lens,
+                                    jnp.full((3,), 0.5)))
+    np.testing.assert_allclose(np.abs(got[:, : audio.shape[1]]).max(axis=1),
+                               0.5, rtol=1e-5)
+
+
+def test_device_augment_jit_and_padding():
+    rng = np.random.RandomState(3)
+    audio = np.zeros((4, 6000), np.float32)
+    lens = np.asarray([6000, 4000, 5000, 3000], np.int32)
+    for i, l in enumerate(lens):
+        audio[i, :l] = rng.randn(l) * 0.2
+
+    fn = jax.jit(lambda k, a, l: dev.device_augment(k, a, l, SR))
+    out = np.asarray(fn(jax.random.PRNGKey(0), jnp.asarray(audio),
+                        jnp.asarray(lens)))
+    assert out.shape == audio.shape and np.isfinite(out).all()
+    # Zero padding must stay zero.
+    for i, l in enumerate(lens):
+        assert np.all(out[i, l:] == 0.0)
+    # Deterministic given the key.
+    out2 = np.asarray(fn(jax.random.PRNGKey(0), jnp.asarray(audio),
+                         jnp.asarray(lens)))
+    np.testing.assert_array_equal(out, out2)
+    # A different key gives different augmentation.
+    out3 = np.asarray(fn(jax.random.PRNGKey(1), jnp.asarray(audio),
+                         jnp.asarray(lens)))
+    assert np.abs(out - out3).max() > 0
+
+
+def test_device_augment_p_gating():
+    rng = np.random.RandomState(4)
+    audio = jnp.asarray(rng.randn(2, 4000).astype(np.float32) * 0.2)
+    lens = jnp.full((2,), 4000, jnp.int32)
+    same = dev.device_augment(jax.random.PRNGKey(0), audio, lens, SR, p=0.0)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(audio),
+                               rtol=1e-6, atol=1e-7)
+    changed = dev.device_augment(jax.random.PRNGKey(0), audio, lens, SR,
+                                 p=1.0)
+    assert np.abs(np.asarray(changed) - np.asarray(audio)).max() > 1e-3
+
+
+def test_train_step_with_device_augment():
+    """make_loss_fn(device_augment=True) compiles and yields finite loss
+    and grads; eval (training=False) is unaffected by the flag."""
+    from rnnt_tpu.config.config import build_featurizer_spec, build_model_spec
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.step import make_loss_fn
+    from tests.test_train_sharding import _batch, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    spec = build_model_spec(cfg)
+    fspec = build_featurizer_spec(cfg)
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    batch = {k: jnp.asarray(v) for k, v in _batch(fspec, B=2).items()}
+    loss_fn = make_loss_fn(spec, fspec, cfg.training.precision,
+                           device_augment=True)
+
+    def wrapped(p):
+        loss, _ = loss_fn(p, model_state, batch, jax.random.PRNGKey(1), True)
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(wrapped))(params)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(grads))
