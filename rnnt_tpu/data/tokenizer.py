@@ -117,9 +117,14 @@ class UnigramTokenizer:
             if t in (_NORMAL, _USER_DEFINED, _BYTE)
         }
         self._max_piece_len = max((len(p) for p in self._seg), default=1)
-        # SentencePiece gives unknown characters the unk score minus a
-        # fixed penalty so known pieces always win when available.
-        self._unk_score = self.scores[self.unk_id] - 10.0
+        # SentencePiece scores unknown characters min_score - kUnkPenalty
+        # (unigram_model.cc: kUnkPenalty = 10.0; the <unk> piece's own
+        # proto score is NOT used) so known pieces always win when
+        # available.  HF tokenizers' Unigram uses the same rule — the
+        # cross-implementation oracle in tests/test_tokenizer_metrics.py
+        # pins this.
+        min_score = min((s for _, (_, s) in self._seg.items()), default=0.0)
+        self._unk_score = min_score - 10.0
         self._native = None
         self._init_native()
 
@@ -178,8 +183,19 @@ class UnigramTokenizer:
             out = (ctypes.c_int32 * max_out)()
             n = lib.rnnt_tok_encode(handle, raw, len(raw), out, max_out)
             if n >= 0:
-                return list(out[:n])
-        return self._encode_py(s)
+                return self._fuse_unk(list(out[:n]))
+        return self._fuse_unk(self._encode_py(s))
+
+    def _fuse_unk(self, ids: list[int]) -> list[int]:
+        """SentencePiece merges runs of adjacent unknown characters into
+        ONE <unk> token (unigram_model.cc token fusing; HF tokenizers'
+        Unigram does the same — see the oracle test)."""
+        out: list[int] = []
+        for i in ids:
+            if out and i == self.unk_id and out[-1] == self.unk_id:
+                continue
+            out.append(i)
+        return out
 
     def _encode_py(self, s: str) -> list[int]:
         n = len(s)
