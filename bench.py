@@ -192,7 +192,7 @@ def bench_pipeline() -> None:
     }))
 
 
-def bench_train_e2e(device_augment: bool = False,
+def bench_train_e2e(device_augment=False,
                     budget_s: float = 60.0, batch_size: int = 32) -> None:
     """HONEST end-to-end training throughput: host pipeline (full
     fullcausal augmentation recipe, 2 workers) -> PrefetchIterator ->
@@ -202,7 +202,9 @@ def bench_train_e2e(device_augment: bool = False,
 
     --device-augment moves chorus/compressor/shaped-noise/peak into the
     jitted step (data/augment_device.py); host workers then run only
-    atempo/pitch/trim."""
+    atempo/pitch/trim.  --device-augment-full moves the ENTIRE recipe
+    (incl. atempo/pitch/trim) on device; host workers only
+    tokenize/collate."""
     import jax
     import jax.numpy as jnp
 
@@ -225,8 +227,12 @@ def bench_train_e2e(device_augment: bool = False,
     ds = synthetic_dataset(size=512, seconds=5.0)
     tok = UnigramTokenizer.from_file("/root/reference/spm_unigram_1023.model")
     buckets = Buckets.from_frames([512], [64], fspec)
-    augmentor = (host_only_default_augmentor() if device_augment
-                 else default_augmentor())
+    if device_augment == "full":
+        augmentor = None
+    elif device_augment:
+        augmentor = host_only_default_augmentor()
+    else:
+        augmentor = default_augmentor()
 
     tx, _ = make_optimizer(cfg.training, total_steps=10000)
     params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
@@ -267,7 +273,8 @@ def bench_train_e2e(device_augment: bool = False,
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
     value = audio_seconds / dt
-    tag = "device-augment" if device_augment else "host-augment"
+    tag = {False: "host-augment", True: "device-augment",
+           "full": "device-augment-full"}[device_augment]
     print(json.dumps({
         "metric": f"train e2e audio-seconds/s (host pipeline + step, {tag})",
         "value": round(value, 2),
@@ -418,7 +425,9 @@ if __name__ == "__main__":
     elif "--pipeline" in sys.argv:
         bench_pipeline()
     elif "--train-e2e" in sys.argv:
-        bench_train_e2e(device_augment="--device-augment" in sys.argv,
+        da = ("full" if "--device-augment-full" in sys.argv
+              else "--device-augment" in sys.argv)
+        bench_train_e2e(device_augment=da,
                         budget_s=_argval("--budget", 60.0, float),
                         batch_size=_argval("--batch", 32, int))
     elif "--loss" in sys.argv:

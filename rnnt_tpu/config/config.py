@@ -163,12 +163,15 @@ class DataConfig:
     num_workers: int = 2
     worker_mode: str = "thread"  # thread | process (forked row workers)
     augment: bool = True
-    # Run the vectorizable half of the augmentation recipe (chorus,
-    # compressor, shaped noise, peak level) inside the jitted train step on
-    # device (data/augment_device.py); host workers keep only the
-    # length-changing ops (atempo/pitch/trim).  Lifts the 2-CPU host feed
-    # bottleneck (bench.py --train-e2e).
-    augment_device: bool = False
+    # Run augmentation inside the jitted train step on device
+    # (data/augment_device.py), lifting the 2-CPU host feed bottleneck
+    # (bench.py --train-e2e).  ``true`` (= "partial"): the fixed-length half
+    # of the recipe (chorus, compressor, shaped noise, peak level) moves to
+    # device; host workers keep atempo/pitch/trim.  ``full``: the ENTIRE
+    # recipe runs on device (atempo as a batched phase vocoder, pitch as a
+    # rate-change resample, trim as a shift) with dynamic audio_lens over
+    # the static bucket buffers; host workers only tokenize/collate.
+    augment_device: bool | str = False
     # Explicit augmentation stack: list of {kind: ..., p: ..., **kwargs}
     # dicts (see rnnt_tpu/data/augment.py AUGMENTATIONS).  Empty => the
     # default fullcausal recipe.  Mirrors the reference's Hydra-instantiated
@@ -292,6 +295,8 @@ def _coerce(value, current, path: str):
         low = value.lower()
         if low in ("true", "false"):
             return low == "true"
+        if low == "full":  # data.augment_device: bool | "full"
+            return value
     if isinstance(current, (list, tuple)) and isinstance(value,
                                                          (list, tuple)):
         return want(value)

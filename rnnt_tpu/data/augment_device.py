@@ -154,6 +154,127 @@ def peak_level(audio, lens, level):
     return audio * scale
 
 
+# --------------------- length-changing ops (full mode) ---------------------
+#
+# The host recipe's remaining three ops (atempo / pitch / trim) CHANGE the
+# signal length, which looks jit-hostile — but only shapes must be static
+# under XLA, not values.  Each op below keeps the padded (B, L) buffer and
+# returns updated ``lens``; downstream consumers (featurizer length
+# arithmetic, peak normalization, loss masks) already run off dynamic
+# lengths.  Slowdowns that would overflow the bucket buffer are clamped to
+# capacity (rate >= len/L) — a deviation from the host recipe only for
+# utterances that nearly fill their bucket.
+
+
+def resample_lerp(audio, lens, ratio):
+    """Batched rate-change resample: out[i] = x(i*ratio), pitch follows rate
+    (the reference's asetrate trick, reference rnnt/augment.py:164-173).
+    audio (B, L), lens (B,) int, ratio (B,) > 0; returns (out, new_lens)
+    with new_len = floor(len/ratio) clamped to L.
+
+    Deviates from the host's polyphase interpolator (data/augment.py
+    _resample) only in the interpolation kernel (linear vs windowed-sinc);
+    at the augmentation ratios used (2**(±3/12)) the difference is
+    inaudible aliasing."""
+    B, L = audio.shape
+    r = jnp.asarray(ratio, jnp.float32).reshape(-1, 1)
+    src = jnp.arange(L, dtype=jnp.float32)[None, :] * r        # (B, L)
+    i0 = jnp.floor(src)
+    frac = src - i0
+    i0 = i0.astype(jnp.int32)
+    x0 = jnp.take_along_axis(audio, jnp.clip(i0, 0, L - 1), axis=1)
+    x1 = jnp.take_along_axis(audio, jnp.clip(i0 + 1, 0, L - 1), axis=1)
+    out = x0 * (1.0 - frac) + x1 * frac
+    new_lens = jnp.minimum((lens.astype(jnp.float32) / r[:, 0]),
+                           float(L)).astype(jnp.int32)
+    out = jnp.where(jnp.arange(L)[None, :] < new_lens[:, None], out, 0.0)
+    return out, new_lens
+
+
+def trim(audio, lens, n_trim):
+    """Drop ``n_trim`` samples off the start (reference
+    rnnt/augment.py:176-188: no-op when n_trim >= len).  audio (B, L),
+    n_trim (B,) int; returns (out, new_lens)."""
+    B, L = audio.shape
+    applied = n_trim < lens
+    shift = jnp.where(applied, n_trim, 0)
+    idx = jnp.arange(L)[None, :] + shift[:, None]
+    out = jnp.take_along_axis(audio, jnp.clip(idx, 0, L - 1), axis=1)
+    new_lens = lens - shift
+    out = jnp.where(jnp.arange(L)[None, :] < new_lens[:, None], out, 0.0)
+    return out, new_lens
+
+
+def time_stretch(audio, lens, rate, frame: int = 512):
+    """Batched pitch-preserving time stretch — the device phase vocoder
+    matching data/augment.py _time_stretch sample-for-sample (same analysis
+    positions, princarg phase propagation, hop-frame/2 overlap-add).
+    audio (B, L), lens (B,) int, rate (B,); returns (out, new_lens) with
+    new_len = floor(len/rate).  Samples with len < 2*frame or
+    |rate-1| < 1e-3 pass through unchanged (the host guard)."""
+    B, L = audio.shape
+    hs = frame // 2
+    M = max((L - frame) // hs + 1, 2)
+    k = jnp.arange(frame, dtype=jnp.float32)
+    window = 0.5 - 0.5 * jnp.cos(2.0 * np.pi * k / (frame - 1))  # np.hanning
+    n = lens.astype(jnp.float32)
+    r = jnp.asarray(rate, jnp.float32)
+    out_len = jnp.floor(n / r).astype(jnp.int32)
+    m = jnp.maximum((out_len - frame) // hs + 1, 2)              # (B,)
+
+    i = jnp.arange(M, dtype=jnp.float32)[None, :]
+    pos = jnp.minimum(jnp.floor(i * (hs * r[:, None])),
+                      n[:, None] - frame)
+    pos = jnp.maximum(pos, 0.0).astype(jnp.int32)                # (B, M)
+
+    gather = (pos[:, :, None] + jnp.arange(frame)[None, None, :]
+              ).reshape(B, M * frame)
+    frames = jnp.take_along_axis(
+        audio.astype(jnp.float32), jnp.clip(gather, 0, L - 1),
+        axis=1).reshape(B, M, frame)
+    spec = jnp.fft.rfft(frames * window, axis=-1)                # (B,M,F/2+1)
+    mag = jnp.abs(spec)
+    phase = jnp.angle(spec)
+    omega = (2.0 * np.pi / frame) * jnp.arange(frame // 2 + 1,
+                                               dtype=jnp.float32)
+    ha = jnp.diff(pos, axis=1).astype(jnp.float32)[:, :, None]   # (B,M-1,1)
+    dphi = phase[:, 1:] - phase[:, :-1] - omega[None, None, :] * ha
+    dphi -= 2.0 * np.pi * jnp.round(dphi / (2.0 * np.pi))        # princarg
+    inst = omega[None, None, :] + dphi / jnp.maximum(ha, 1.0)
+    psi = jnp.concatenate(
+        [phase[:, :1], phase[:, :1] + jnp.cumsum(inst * hs, axis=1)], axis=1)
+    out_frames = jnp.fft.irfft(mag * jnp.exp(1j * psi), frame,
+                               axis=-1) * window
+
+    # Overlap-add at hop hs == frame/2: two shifted padded adds; frames at
+    # i >= m (beyond this sample's output) are masked out of both the
+    # signal accumulator and the window^2 normalizer.
+    fmask = (jnp.arange(M)[None, :] < m[:, None])[:, :, None]
+    of = jnp.where(fmask, out_frames, 0.0)
+    acc = (jnp.pad(of[:, :, :hs], ((0, 0), (0, 1), (0, 0)))
+           + jnp.pad(of[:, :, hs:], ((0, 0), (1, 0), (0, 0))))
+    acc = acc.reshape(B, (M + 1) * hs)
+    w2 = jnp.broadcast_to((window * window)[None, None, :], (B, M, frame))
+    w2 = jnp.where(fmask, w2, 0.0)
+    wacc = (jnp.pad(w2[:, :, :hs], ((0, 0), (0, 1), (0, 0)))
+            + jnp.pad(w2[:, :, hs:], ((0, 0), (1, 0), (0, 0))))
+    wacc = wacc.reshape(B, (M + 1) * hs)
+    out = acc / jnp.maximum(wacc, 1e-3)
+    if (M + 1) * hs >= L:
+        out = out[:, :L]
+    else:
+        out = jnp.pad(out, ((0, 0), (0, L - (M + 1) * hs)))
+
+    # The host's OLA buffer holds (m+1)*hs samples, so its output is
+    # min(out_len, (m+1)*hs) — match that exactly.
+    new_lens = jnp.minimum(jnp.minimum(out_len, (m + 1) * hs), L)
+    skip = (lens < 2 * frame) | (jnp.abs(r - 1.0) < 1e-3)
+    out = jnp.where(skip[:, None], audio, out)
+    new_lens = jnp.where(skip, lens, new_lens)
+    out = jnp.where(jnp.arange(L)[None, :] < new_lens[:, None], out, 0.0)
+    return out, new_lens
+
+
 # --------------------------- recipe-driven sampler ---------------------------
 
 def _filter_param_table(filters, keys):
@@ -247,12 +368,61 @@ def device_augment(rng, audio, audio_lens, sample_rate: int = 16000, *,
     return jnp.where(orig_mask, audio, 0.0)
 
 
+def device_augment_full(rng, audio, audio_lens, sample_rate: int = 16000, *,
+                        p: float = 0.5, **kwargs):
+    """The ENTIRE reference fullcausal recipe on device
+    (data/augment.py default_augmentor, same order): atempo, pitch shift,
+    trim, chorus, compressor, shaped noise, peak — host workers then only
+    decode/tokenize/collate.  Returns (audio, new_lens); downstream length
+    arithmetic must use new_lens.
+
+    Slowdown rates are clamped to the bucket buffer capacity
+    (rate >= len/L); this only deviates from the host recipe for
+    utterances that nearly fill their bucket."""
+    B, L = audio.shape
+    keys = jax.random.split(rng, 7)
+    audio = audio.astype(jnp.float32)
+    lens = audio_lens.astype(jnp.int32)
+
+    # ATempo(0.5, 0.75, 1.25): pitch-preserving tempo.
+    rate = jax.random.uniform(keys[0], (B,), minval=0.75, maxval=1.25)
+    rate = jnp.maximum(rate, lens.astype(jnp.float32) / L)
+    st, sl = time_stretch(audio, lens, rate)
+    on = _gate(keys[1], p, B)
+    audio = _blend(st, audio, on)
+    lens = jnp.where(on, sl, lens)
+
+    # PitchShift(0.5, -3, 3): rate-change resample, 2**(semis/12).
+    semis = jax.random.randint(keys[2], (B,), -3, 4)
+    ratio = 2.0 ** (semis.astype(jnp.float32) / 12.0)
+    ratio = jnp.maximum(ratio, lens.astype(jnp.float32) / L)
+    rs, rl = resample_lerp(audio, lens, ratio)
+    on = _gate(keys[3], p, B)
+    audio = _blend(rs, audio, on)
+    lens = jnp.where(on, rl, lens)
+
+    # Trim(0.5, 0.02).
+    n_trim = (jax.random.uniform(keys[4], (B,), maxval=0.02)
+              * sample_rate).astype(jnp.int32)
+    tr, tl = trim(audio, lens, n_trim)
+    on = _gate(keys[5], p, B)
+    audio = _blend(tr, audio, on)
+    lens = jnp.where(on, tl, lens)
+
+    audio = device_augment(keys[6], audio, lens, sample_rate, p=p, **kwargs)
+    return audio, lens
+
+
 # Host-side augmentation kinds that device_augment replaces (used by the
 # train loop to strip them from the host worker recipe when
 # data.augment_device is on).
 DEVICE_SIDE_KINDS = frozenset(
     {"chorus", "compressor", "choose_filter", "shaped_noise", "white_noise",
      "peak_level"})
+
+# Additionally replaced in "full" mode (data.augment_device: full).
+DEVICE_SIDE_KINDS_FULL = DEVICE_SIDE_KINDS | frozenset(
+    {"atempo", "tempo", "pitch_shift", "trim"})
 
 
 def host_only_default_augmentor(seed: int = 0):

@@ -169,16 +169,24 @@ def train(cfg: Config, *, output_base: str = "experiments",
     buckets = Buckets.from_frames(tc.frame_buckets, tc.token_buckets, fspec)
 
     augmentor = None
+    full_device_augment = cfg.data.augment_device == "full"
     if cfg.data.augment and make_augmentor is not None:
         augmentor = make_augmentor(cfg)
     elif cfg.data.augment and cfg.data.augmentations:
         from rnnt_tpu.data.augment import build_augmentor
+        from rnnt_tpu.data.augment_device import (
+            DEVICE_SIDE_KINDS, DEVICE_SIDE_KINDS_FULL)
         aug_cfgs = cfg.data.augmentations
         if cfg.data.augment_device:
-            from rnnt_tpu.data.augment_device import DEVICE_SIDE_KINDS
-            aug_cfgs = [c for c in aug_cfgs
-                        if c.get("kind") not in DEVICE_SIDE_KINDS]
-        augmentor = build_augmentor(aug_cfgs)
+            skip = (DEVICE_SIDE_KINDS_FULL if full_device_augment
+                    else DEVICE_SIDE_KINDS)
+            aug_cfgs = [c for c in aug_cfgs if c.get("kind") not in skip]
+        augmentor = build_augmentor(aug_cfgs) if aug_cfgs else None
+    elif cfg.data.augment and full_device_augment:
+        # The ENTIRE recipe runs inside the jitted step
+        # (data/augment_device.py device_augment_full); host workers only
+        # tokenize/collate.
+        augmentor = None
     elif cfg.data.augment and cfg.data.augment_device:
         # Host keeps only the length-changing ops; chorus/compressor/
         # noise/peak run inside the jitted step (data/augment_device.py).

@@ -62,18 +62,26 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
 
     def loss_fn(params, model_state, batch, rng, training: bool):
         audio_in = batch["audio"]
+        audio_lens = batch["audio_lens"]
         if device_augment and training and rng is not None:
-            from rnnt_tpu.data.augment_device import device_augment as _da
             rng, da_rng = jax.random.split(rng)
-            audio_in = _da(da_rng, audio_in, batch["audio_lens"],
-                           fspec.sample_rate)
+            if device_augment == "full":
+                # Entire recipe on device, incl. the length-changing ops;
+                # lengths update dynamically (static buffer shapes).
+                from rnnt_tpu.data.augment_device import device_augment_full
+                audio_in, audio_lens = device_augment_full(
+                    da_rng, audio_in, audio_lens, fspec.sample_rate)
+            else:
+                from rnnt_tpu.data.augment_device import device_augment as _da
+                audio_in = _da(da_rng, audio_in, audio_lens,
+                               fspec.sample_rate)
         feats = featurize(audio_in)  # (B, T, bins) f32
         if spec_augment and training and rng is not None:
             from rnnt_tpu.data.augment import spec_augment as _sa
             rng, sa_rng = jax.random.split(rng)
             feats = _sa(sa_rng, feats)
         feats = feats.astype(compute_dtype)
-        feat_lens = feature_lens_from_samples(batch["audio_lens"], fspec)
+        feat_lens = feature_lens_from_samples(audio_lens, fspec)
         audio, text, new_state = rnnt_forward(
             params, model_state, feats, spec, batch["targets"],
             training=training, rng=rng)

@@ -176,3 +176,161 @@ def test_train_step_with_device_augment():
     assert np.isfinite(float(loss))
     assert all(np.all(np.isfinite(np.asarray(l)))
                for l in jax.tree_util.tree_leaves(grads))
+
+
+# ------------------- length-changing ops (full mode) -------------------
+
+def _assert_stretch_close(got, expected, hs=256):
+    """Tight on the body; loose on the final window ramp, where the
+    window^2 normalizer approaches its 1e-3 clamp and amplifies f32 FFT
+    rounding differences (scipy vs XLA) into the few-percent range."""
+    m = len(expected)
+    np.testing.assert_allclose(got[: m - hs], expected[: m - hs], atol=4e-3)
+    np.testing.assert_allclose(got[m - hs: m], expected[m - hs: m],
+                               atol=5e-2)
+
+
+def test_time_stretch_matches_host_unpadded():
+    """Device phase vocoder == host _time_stretch when the sample fills the
+    buffer (capacity L leaves room for the rate-0.75 slowdown)."""
+    rng = np.random.RandomState(10)
+    n, L = 8192, 16384
+    x = (rng.randn(n) * 0.3).astype(np.float32)
+    buf = np.zeros((1, L), np.float32)
+    buf[0, :n] = x
+    for rate in (1.25, 0.75, 1.1):
+        expected = host._time_stretch(x, rate)
+        out, new_lens = dev.time_stretch(
+            jnp.asarray(buf), jnp.asarray([n], jnp.int32),
+            jnp.asarray([rate], jnp.float32))
+        got = np.asarray(out[0])
+        assert int(new_lens[0]) == len(expected)
+        _assert_stretch_close(got, expected)
+        assert np.all(got[int(new_lens[0]):] == 0.0)
+
+
+def test_time_stretch_matches_host_padded():
+    """With padding, the device op must match the host op run on the
+    unpadded signal (analysis positions never read past lens)."""
+    rng = np.random.RandomState(11)
+    L, n = 10240, 7000
+    buf = np.zeros((1, L), np.float32)
+    buf[0, :n] = (rng.randn(n) * 0.3).astype(np.float32)
+    rate = 1.15
+    expected = host._time_stretch(buf[0, :n], rate)
+    out, new_lens = dev.time_stretch(
+        jnp.asarray(buf), jnp.asarray([n], jnp.int32),
+        jnp.asarray([rate], jnp.float32))
+    assert int(new_lens[0]) == len(expected)
+    _assert_stretch_close(np.asarray(out[0]), expected)
+
+
+def test_time_stretch_slowdown_and_guards():
+    """rate < 1 lengthens within capacity; short samples and rate~1 pass
+    through unchanged (the host guard)."""
+    rng = np.random.RandomState(12)
+    L = 16384
+    n = 8000
+    buf = np.zeros((3, L), np.float32)
+    row_lens = [n, 900, n]                              # zero beyond lens,
+    for i, rl in enumerate(row_lens):                   # as collation does
+        buf[i, :rl] = (rng.randn(rl) * 0.3).astype(np.float32)
+    lens = jnp.asarray(row_lens, jnp.int32)             # 900 < 2*frame
+    rates = jnp.asarray([0.8, 0.8, 1.0], jnp.float32)   # slow, guard, ~1
+    out, new_lens = dev.time_stretch(jnp.asarray(buf), lens, rates)
+    # Guarded rows come back bit-identical with unchanged lens.
+    np.testing.assert_array_equal(np.asarray(out[1]), buf[1])
+    np.testing.assert_array_equal(np.asarray(out[2]), buf[2])
+    assert int(new_lens[1]) == 900 and int(new_lens[2]) == n
+    # Slowdown row matches the host on the valid region.
+    expected = host._time_stretch(buf[0, :n], 0.8)
+    assert int(new_lens[0]) == len(expected)
+    _assert_stretch_close(np.asarray(out[0]), expected)
+
+
+def test_resample_lerp_oracle():
+    """Device resample == an np.interp oracle at the same positions, and
+    the length arithmetic matches floor(len/ratio)."""
+    rng = np.random.RandomState(13)
+    L, n = 6000, 5000
+    buf = np.zeros((2, L), np.float32)
+    buf[0, :n] = rng.randn(n).astype(np.float32) * 0.3
+    buf[1, :n] = rng.randn(n).astype(np.float32) * 0.3
+    ratios = np.asarray([2 ** (3 / 12), 2 ** (-1 / 12)], np.float32)
+    out, new_lens = dev.resample_lerp(
+        jnp.asarray(buf), jnp.asarray([n, n], jnp.int32),
+        jnp.asarray(ratios))
+    for b in range(2):
+        m = int(new_lens[b])
+        assert m == min(int(n / ratios[b]), L)
+        src = np.arange(m, dtype=np.float32) * ratios[b]
+        expected = np.interp(src, np.arange(L, dtype=np.float32), buf[b])
+        np.testing.assert_allclose(np.asarray(out[b, :m]), expected,
+                                   atol=2e-4)
+        assert np.all(np.asarray(out[b, m:]) == 0.0)
+
+
+def test_trim_matches_host():
+    rng = np.random.RandomState(14)
+    L, n = 4000, 3500
+    buf = np.zeros((2, L), np.float32)
+    buf[0, :n] = rng.randn(n).astype(np.float32)
+    buf[1, :n] = rng.randn(n).astype(np.float32)
+    n_trim = jnp.asarray([123, 5000], jnp.int32)  # second exceeds len: no-op
+    out, new_lens = dev.trim(jnp.asarray(buf),
+                             jnp.asarray([n, n], jnp.int32), n_trim)
+    np.testing.assert_allclose(np.asarray(out[0, : n - 123]),
+                               buf[0, 123:n], rtol=1e-6)
+    assert int(new_lens[0]) == n - 123
+    np.testing.assert_array_equal(np.asarray(out[1]), buf[1])
+    assert int(new_lens[1]) == n
+
+
+def test_device_augment_full_jit_padding_and_lens():
+    rng = np.random.RandomState(15)
+    audio = np.zeros((4, 16000), np.float32)
+    lens = np.asarray([16000, 12000, 9000, 15000], np.int32)
+    for i, l in enumerate(lens):
+        audio[i, :l] = rng.randn(l) * 0.2
+
+    fn = jax.jit(lambda k, a, l: dev.device_augment_full(k, a, l, SR))
+    out, new_lens = fn(jax.random.PRNGKey(0), jnp.asarray(audio),
+                       jnp.asarray(lens))
+    out, new_lens = np.asarray(out), np.asarray(new_lens)
+    assert out.shape == audio.shape and np.isfinite(out).all()
+    assert np.all(new_lens >= 1) and np.all(new_lens <= audio.shape[1])
+    for i in range(4):
+        assert np.all(out[i, new_lens[i]:] == 0.0)
+    # p=0 is the identity (audio AND lens).
+    same, same_lens = dev.device_augment_full(
+        jax.random.PRNGKey(0), jnp.asarray(audio), jnp.asarray(lens), SR,
+        p=0.0)
+    np.testing.assert_allclose(np.asarray(same), audio, rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(same_lens), lens)
+
+
+def test_train_step_with_device_augment_full():
+    """make_loss_fn(device_augment='full') compiles; loss/grads finite; the
+    dynamic post-augment lengths flow into the loss masks."""
+    from rnnt_tpu.config.config import build_featurizer_spec, build_model_spec
+    from rnnt_tpu.models.rnnt import rnnt_init
+    from rnnt_tpu.train.step import make_loss_fn
+    from tests.test_train_sharding import _batch, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    spec = build_model_spec(cfg)
+    fspec = build_featurizer_spec(cfg)
+    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    batch = {k: jnp.asarray(v) for k, v in _batch(fspec, B=2).items()}
+    loss_fn = make_loss_fn(spec, fspec, cfg.training.precision,
+                           device_augment="full")
+
+    def wrapped(p):
+        loss, _ = loss_fn(p, model_state, batch, jax.random.PRNGKey(1), True)
+        return loss
+
+    loss, grads = jax.jit(jax.value_and_grad(wrapped))(params)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(grads))
