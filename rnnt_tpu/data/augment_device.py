@@ -32,6 +32,7 @@ from rnnt_tpu.data.augment import (
     REFERENCE_COMPRESSOR_FILTERS,
     augmentation_from_filter_string,
 )
+from rnnt_tpu.ops.window_gather import band_lerp, gather_windows
 
 
 # ------------------------------ primitive ops ------------------------------
@@ -43,22 +44,35 @@ def chorus(audio, sample_rate: int, in_gain, out_gain, delay_ms, decay,
     y[n] = in_gain*x[n] + out_gain*decay*x[n - D(n)],
     D(n) = (delay_ms + depth_ms*sin(2*pi*speed*n/sr)) * sr/1000, fractional
     delays linearly interpolated, out-of-range taps read 0 — exactly
-    data/augment.py Chorus.apply."""
+    data/augment.py Chorus.apply.
+
+    TPU path: the fractional-delay read is NOT a per-element gather
+    (~22 ns/element on v5e — ~56 ms at (32, 80000)).  The LFO drifts by
+    < 1 sample per 128-sample block (reference table worst case
+    2*pi*0.1Hz*8ms*16*128/16000 = 0.64), so each 128-lane output block
+    reads one contiguous window anchored at its first tap
+    (ops/window_gather.py Pallas fetch) and the per-lane offsets stay in a
+    4-wide static band resolved by a constant one-hot einsum (band_lerp).
+    """
     B, L = audio.shape
-    n = jnp.arange(L, dtype=jnp.float32)[None, :]
+    Lp = -(-L // 128) * 128
+    PAD = 1024   # > max delay+depth (48 ms * 16 = 768 samples)
+    a_p = jnp.pad(audio.astype(jnp.float32), ((0, 0), (PAD, Lp - L)))
+    n = jnp.arange(Lp, dtype=jnp.float32)[None, :]
     as2 = lambda p: jnp.asarray(p, jnp.float32).reshape(-1, 1)
     d = as2(delay_ms) + as2(depth_ms) * jnp.sin(
         (2.0 * np.pi / sample_rate) * as2(speed) * n)
-    src = n - d * (sample_rate / 1000.0)                    # (B, L)
-    i0 = jnp.floor(src)
-    frac = src - i0
-    i0 = i0.astype(jnp.int32)
-    x0 = jnp.take_along_axis(audio, jnp.clip(i0, 0, L - 1), axis=1)
-    x1 = jnp.take_along_axis(audio, jnp.clip(i0 + 1, 0, L - 1), axis=1)
+    src = jnp.broadcast_to(n - d * (sample_rate / 1000.0), (B, Lp))
+    nb = Lp // 128
+    w0 = jnp.floor(src[:, ::128]).astype(jnp.int32) - 1     # (B, nb)
+    win = gather_windows(a_p, w0 + PAD, 256)
+    rel = src - jnp.repeat(w0, 128, axis=1).astype(jnp.float32)
+    tap = band_lerp(win, rel.reshape(B, nb, 128), 0, 3).reshape(B, Lp)
+    tap = tap[:, :L]
+    src = src[:, :L]
     # np.interp semantics (host Chorus): taps strictly outside [0, L-1]
     # read 0 as a whole — no cross-boundary lerp.
-    tap = jnp.where((src >= 0) & (src <= L - 1),
-                    x0 * (1.0 - frac) + x1 * frac, 0.0)
+    tap = jnp.where((src >= 0) & (src <= L - 1), tap, 0.0)
     wet = as2(decay) * tap
     return as2(in_gain) * audio + as2(out_gain) * wet
 
@@ -177,14 +191,23 @@ def resample_lerp(audio, lens, ratio):
     at the augmentation ratios used (2**(±3/12)) the difference is
     inaudible aliasing."""
     B, L = audio.shape
+    Lp = -(-L // 128) * 128
+    a_p = jnp.pad(audio.astype(jnp.float32), ((0, 0), (128, Lp - L)))
     r = jnp.asarray(ratio, jnp.float32).reshape(-1, 1)
-    src = jnp.arange(L, dtype=jnp.float32)[None, :] * r        # (B, L)
-    i0 = jnp.floor(src)
-    frac = src - i0
-    i0 = i0.astype(jnp.int32)
-    x0 = jnp.take_along_axis(audio, jnp.clip(i0, 0, L - 1), axis=1)
-    x1 = jnp.take_along_axis(audio, jnp.clip(i0 + 1, 0, L - 1), axis=1)
-    out = x0 * (1.0 - frac) + x1 * frac
+    src = jnp.broadcast_to(
+        jnp.arange(Lp, dtype=jnp.float32)[None, :] * r, (B, Lp))
+    # Per 128-lane output block: one contiguous window anchored at the
+    # block's first source position; per-lane positions drift by
+    # l*(ratio-1), within the static band below for ratio in
+    # [0.72, 1.27] ⊃ [2^(-4/12), 2^(4/12)] (ratios outside that range
+    # would fall out of band and read as zero — the recipe's pitch range
+    # is ±3 semitones, capacity-clamped upward only to <= 2^(3/12)).
+    nb = Lp // 128
+    w0 = jnp.floor(src[:, ::128]).astype(jnp.int32) - 1
+    win = gather_windows(a_p, w0 + 128, 256)
+    rel = src - jnp.repeat(w0, 128, axis=1).astype(jnp.float32)
+    out = band_lerp(win, rel.reshape(B, nb, 128), -36, 35).reshape(B, Lp)
+    out = out[:, :L]
     new_lens = jnp.minimum((lens.astype(jnp.float32) / r[:, 0]),
                            float(L)).astype(jnp.int32)
     out = jnp.where(jnp.arange(L)[None, :] < new_lens[:, None], out, 0.0)
@@ -227,11 +250,10 @@ def time_stretch(audio, lens, rate, frame: int = 512):
                       n[:, None] - frame)
     pos = jnp.maximum(pos, 0.0).astype(jnp.int32)                # (B, M)
 
-    gather = (pos[:, :, None] + jnp.arange(frame)[None, None, :]
-              ).reshape(B, M * frame)
-    frames = jnp.take_along_axis(
-        audio.astype(jnp.float32), jnp.clip(gather, 0, L - 1),
-        axis=1).reshape(B, M, frame)
+    # Analysis frames are contiguous windows at arbitrary starts — the
+    # Pallas window fetch (ops/window_gather.py) instead of a 10M-element
+    # XLA gather.
+    frames = gather_windows(audio.astype(jnp.float32), pos, frame)
     spec = jnp.fft.rfft(frames * window, axis=-1)                # (B,M,F/2+1)
     mag = jnp.abs(spec)
     phase = jnp.angle(spec)
