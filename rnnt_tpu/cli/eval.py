@@ -58,7 +58,8 @@ def main(argv=None) -> None:
                                   cfg.training.token_buckets, fspec)
     it = BatchIterator(ds, tokenizer, buckets, batch_size=args.batch_size,
                       shuffle=False, drop_last=False,
-                      max_batches=max(args.max_elements // args.batch_size, 1))
+                      max_batches=max(args.max_elements // args.batch_size, 1),
+                      wire_dtype=cfg.data.wire_dtype)
 
     eval_forward = jax.jit(make_eval_forward(spec, fspec, cfg.training.precision))
     max_tokens = max(cfg.training.token_buckets)

@@ -177,9 +177,14 @@ class DataConfig:
     # default fullcausal recipe.  Mirrors the reference's Hydra-instantiated
     # augmentor list (config/basic_sp_convjs_fullcausal.yaml:120-158).
     augmentations: list = field(default_factory=list)
+    # Audio H2D wire format: "int16" halves host->device transfer bytes
+    # ((near-)lossless for 16-bit PCM corpora; decoded on device,
+    # train/step.py decode_wire_audio).  "float32" sends raw floats.
+    wire_dtype: str = "int16"
     # Synthetic-data knobs (used when no real dataset is available).
     synthetic_size: int = 256
     synthetic_seconds: float = 3.0
+    synthetic_max_words: int = 12   # larger => flagship-scale target U
     # Evaluate on the training set (overfitting sanity checks).
     eval_on_train: bool = False
 
@@ -296,7 +301,7 @@ def _coerce(value, current, path: str):
         if low in ("true", "false"):
             return low == "true"
         if low == "full":  # data.augment_device: bool | "full"
-            return value
+            return low     # normalized: "FULL" must still == "full" downstream
     if isinstance(current, (list, tuple)) and isinstance(value,
                                                          (list, tuple)):
         return want(value)

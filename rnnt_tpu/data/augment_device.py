@@ -120,14 +120,22 @@ def compressor(audio, sample_rate: int, threshold_db, ratio, attack_ms,
     gains = (10.0 ** (gain_db / 20.0)) * jnp.asarray(makeup, jnp.float32)
 
     # np.interp(arange(L), centers, gains): centers = (i + 0.5) * block.
-    pos = (jnp.arange(L, dtype=jnp.float32) - 0.5 * block) / block
-    j0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, nb - 1)
-    j1 = jnp.clip(j0 + 1, 0, nb - 1)
-    frac = jnp.clip(pos - jnp.floor(pos), 0.0, 1.0)
-    frac = jnp.where(pos < 0, 0.0, jnp.where(pos > nb - 1, 0.0, frac))
-    g0 = jnp.take_along_axis(gains, jnp.broadcast_to(j0[None], (B, L)), 1)
-    g1 = jnp.take_along_axis(gains, jnp.broadcast_to(j1[None], (B, L)), 1)
-    g = g0 * (1.0 - frac[None, :]) + g1 * frac[None, :]
+    # The sample->block mapping is REGULAR (sample t = block*k + r reads
+    # blocks k-1/k for r < block/2, k/k+1 otherwise), so the interp is a
+    # shifted-neighbor lerp over (B, nb, block) — pure broadcasting, no
+    # take_along_axis (a (B, L) per-element gather runs at ~11 ns/element
+    # on v5e: 2 gathers cost 47 ms of the 51 ms partial recipe; this whole
+    # op is < 1 ms without them).
+    nlo = (block + 1) // 2                    # r < block/2 uses blocks k-1/k
+    hb = 0.5 * block
+    g_prev = jnp.concatenate([gains[:, :1], gains[:, :-1]], axis=1)
+    g_next = jnp.concatenate([gains[:, 1:], gains[:, -1:]], axis=1)
+    r = jnp.arange(block, dtype=jnp.float32)
+    fr_lo = ((r[:nlo] + hb) / block)[None, None, :]
+    fr_hi = ((r[nlo:] - hb) / block)[None, None, :]
+    lo = (g_prev[:, :, None] * (1.0 - fr_lo) + gains[:, :, None] * fr_lo)
+    hi = (gains[:, :, None] * (1.0 - fr_hi) + g_next[:, :, None] * fr_hi)
+    g = jnp.concatenate([lo, hi], axis=2).reshape(B, nb * block)[:, :L]
     return audio * g
 
 
@@ -193,20 +201,22 @@ def resample_lerp(audio, lens, ratio):
     B, L = audio.shape
     Lp = -(-L // 128) * 128
     a_p = jnp.pad(audio.astype(jnp.float32), ((0, 0), (128, Lp - L)))
-    r = jnp.asarray(ratio, jnp.float32).reshape(-1, 1)
+    # 64-lane output blocks anchored at the MIDDLE lane: per-lane offsets
+    # are 48 - 32r + l(r-1) + frac over l in [0, 64), inside the static
+    # band [6, 27] for ratio in [0.677, 1.3125] — the clip below makes
+    # out-of-band reads impossible by construction (wider ratios saturate
+    # instead of silently zeroing; tests cover ±3 st and the 1.27 edge).
+    # vs the old 128-lane lane-0 anchor (band width 74): the banded one-hot
+    # einsum shrinks 4x in FLOPs and 6x in intermediates (no lax.map
+    # chunking), ~7 ms -> ~1.5 ms at (32, 80000).
+    r = jnp.clip(jnp.asarray(ratio, jnp.float32), 0.71, 1.275).reshape(-1, 1)
     src = jnp.broadcast_to(
         jnp.arange(Lp, dtype=jnp.float32)[None, :] * r, (B, Lp))
-    # Per 128-lane output block: one contiguous window anchored at the
-    # block's first source position; per-lane positions drift by
-    # l*(ratio-1), within the static band below for ratio in
-    # [0.72, 1.27] ⊃ [2^(-4/12), 2^(4/12)] (ratios outside that range
-    # would fall out of band and read as zero — the recipe's pitch range
-    # is ±3 semitones, capacity-clamped upward only to <= 2^(3/12)).
-    nb = Lp // 128
-    w0 = jnp.floor(src[:, ::128]).astype(jnp.int32) - 1
-    win = gather_windows(a_p, w0 + 128, 256)
-    rel = src - jnp.repeat(w0, 128, axis=1).astype(jnp.float32)
-    out = band_lerp(win, rel.reshape(B, nb, 128), -36, 35).reshape(B, Lp)
+    nb = Lp // 64
+    w0 = jnp.floor(src[:, 32::64]).astype(jnp.int32) - 48
+    win = gather_windows(a_p, w0 + 128, 128)
+    rel = src - jnp.repeat(w0, 64, axis=1).astype(jnp.float32)
+    out = band_lerp(win, rel.reshape(B, nb, 64), 6, 27).reshape(B, Lp)
     out = out[:, :L]
     new_lens = jnp.minimum((lens.astype(jnp.float32) / r[:, 0]),
                            float(L)).astype(jnp.int32)
@@ -217,12 +227,18 @@ def resample_lerp(audio, lens, ratio):
 def trim(audio, lens, n_trim):
     """Drop ``n_trim`` samples off the start (reference
     rnnt/augment.py:176-188: no-op when n_trim >= len).  audio (B, L),
-    n_trim (B,) int; returns (out, new_lens)."""
+    n_trim (B,) int; returns (out, new_lens).
+
+    The per-row shift is fetched as contiguous 128-wide windows
+    (ops/window_gather.py) — a take_along_axis here was a (B, L)
+    per-element gather costing ~29 ms at (32, 80000) vs ~3 ms now."""
     B, L = audio.shape
     applied = n_trim < lens
     shift = jnp.where(applied, n_trim, 0)
-    idx = jnp.arange(L)[None, :] + shift[:, None]
-    out = jnp.take_along_axis(audio, jnp.clip(idx, 0, L - 1), axis=1)
+    nb = -(-L // 128)
+    starts = shift[:, None] + 128 * jnp.arange(nb, dtype=jnp.int32)[None, :]
+    out = gather_windows(audio.astype(jnp.float32), starts,
+                         128).reshape(B, nb * 128)[:, :L]
     new_lens = lens - shift
     out = jnp.where(jnp.arange(L)[None, :] < new_lens[:, None], out, 0.0)
     return out, new_lens
@@ -445,6 +461,55 @@ DEVICE_SIDE_KINDS = frozenset(
 # Additionally replaced in "full" mode (data.augment_device: full).
 DEVICE_SIDE_KINDS_FULL = DEVICE_SIDE_KINDS | frozenset(
     {"atempo", "tempo", "pitch_shift", "trim"})
+
+# The parameters the device recipe actually runs (hard-coded in
+# device_augment / device_augment_full).  When the train loop strips a
+# host-side op whose config differs from these, the user's parameters are
+# silently discarded — warn_stripped_param_mismatch makes that loud.
+DEVICE_RECIPE_PARAMS = {
+    "atempo": {"p": 0.5, "min_tempo_rate": 0.75, "max_tempo_rate": 1.25},
+    "tempo": {"p": 0.5, "min_tempo_rate": 0.75, "max_tempo_rate": 1.25},
+    "pitch_shift": {"p": 0.5, "min_semitones": -3, "max_semitones": 3},
+    "trim": {"p": 0.5, "max_trim": 0.02},
+    "choose_filter": {"p": 0.5},
+    "chorus": {"p": 0.5},
+    "compressor": {"p": 0.5},
+    "shaped_noise": {"p": 0.5, "min_noise_level": 0.001,
+                     "max_noise_level": 0.015, "num_buckets": 8},
+    "white_noise": None,       # not in the device recipe at all
+    "peak_level": {"p": 0.5, "min_peak_level": 0.25,
+                   "max_peak_level": 0.99},
+}
+
+
+def warn_stripped_param_mismatch(stripped_cfgs) -> list[str]:
+    """Compare host augmentation configs stripped by the train loop against
+    the parameters the device recipe hard-codes; return (and print) a
+    warning line per mismatch so custom per-op settings are never silently
+    discarded (train/loop.py calls this when data.augment_device is on)."""
+    warnings = []
+    for c in stripped_cfgs:
+        kind = c.get("kind")
+        expect = DEVICE_RECIPE_PARAMS.get(kind)
+        if expect is None:
+            warnings.append(
+                f"augment_device: host op {kind!r} has no device "
+                f"equivalent with these semantics — it will NOT run")
+            continue
+        diffs = {k: (v, expect[k]) for k, v in c.items()
+                 if k != "kind" and k in expect and v != expect[k]}
+        extra = [k for k in c if k not in expect and k != "kind"
+                 and k != "filters"]
+        if diffs or extra:
+            parts = [f"{k}={got!r} (device runs {want!r})"
+                     for k, (got, want) in diffs.items()]
+            parts += [f"{k}={c[k]!r} (ignored)" for k in extra]
+            warnings.append(
+                f"augment_device: stripped host op {kind!r} config differs "
+                f"from the device recipe: " + ", ".join(parts))
+    for w in warnings:
+        print(f"WARNING: {w}")
+    return warnings
 
 
 def host_only_default_augmentor(seed: int = 0):

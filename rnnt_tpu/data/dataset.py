@@ -26,6 +26,10 @@ import numpy as np
 from rnnt_tpu.data.tokenizer import UnigramTokenizer
 from rnnt_tpu.ops.stft import FeaturizerSpec
 
+# int16 wire-format scale for audio H2D (see BatchIterator wire_dtype /
+# train/step.py decode_wire_audio): 2x headroom over full-scale PCM.
+WIRE_SCALE = 16384.0
+
 _WORDS = (
     "the of and to in a is that it was for on are as with his they at be "
     "this have from or one had by word but not what all were we when your "
@@ -49,9 +53,11 @@ _WORDS = (
 
 
 def synthetic_dataset(size: int, seconds: float, sample_rate: int = 16000,
-                      seed: int = 0) -> list[dict]:
+                      seed: int = 0, max_words: int = 12) -> list[dict]:
     """Deterministic synthetic corpus: band-limited noise + random text.
-    Mirrors the HF row shape: {"audio": {"array", "sampling_rate"}, "text"}."""
+    Mirrors the HF row shape: {"audio": {"array", "sampling_rate"}, "text"}.
+    ``max_words`` scales target length (default keeps the historical 3-11
+    word range; larger values give flagship-scale U for A/B studies)."""
     rng = np.random.RandomState(seed)
     rows = []
     for _ in range(size):
@@ -63,7 +69,7 @@ def synthetic_dataset(size: int, seconds: float, sample_rate: int = 16000,
             f = rng.uniform(100, 4000)
             audio += (rng.uniform(0.02, 0.1)
                       * np.sin(2 * np.pi * f * t).astype(np.float32))
-        n_words = rng.randint(3, 12)
+        n_words = rng.randint(max(3, max_words // 4), max_words)
         text = " ".join(rng.choice(_WORDS) for _ in range(n_words))
         rows.append({"audio": {"array": audio, "sampling_rate": sample_rate},
                      "text": text})
@@ -218,7 +224,8 @@ class BatchIterator:
                  seed: int = 0, drop_last: bool = True,
                  max_batches: int | None = None, num_workers: int = 0,
                  worker_mode: str = "thread",
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1,
+                 wire_dtype: str = "float32"):
         self.dataset = dataset
         self.tokenizer = tokenizer
         self.buckets = buckets
@@ -229,6 +236,10 @@ class BatchIterator:
         self.drop_last = drop_last
         self.max_batches = max_batches
         self.num_workers = num_workers
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be float32|int16, "
+                             f"got {wire_dtype!r}")
+        self.wire_dtype = wire_dtype
         if worker_mode not in ("thread", "process"):
             raise ValueError(f"worker_mode must be thread|process, "
                              f"got {worker_mode!r}")
@@ -316,5 +327,12 @@ class BatchIterator:
             audio_lens[i] = len(a)
             targets[i, : len(toks)] = toks
             target_lens[i] = len(toks)
+        if self.wire_dtype == "int16":
+            # Half the host->device bytes: speech corpora are 16-bit PCM so
+            # the encoding is (near-)lossless; scale 16384 leaves 2x
+            # headroom for host-augmented audio that exceeds [-1, 1].  The
+            # device side auto-decodes (train/step.py decode_wire_audio).
+            audio = np.clip(np.rint(audio * WIRE_SCALE),
+                            -32768, 32767).astype(np.int16)
         return {"audio": audio, "audio_lens": audio_lens,
                 "targets": targets, "target_lens": target_lens}

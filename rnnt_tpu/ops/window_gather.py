@@ -103,7 +103,8 @@ def gather_windows(x, starts, width: int):
     return fn(x, starts)
 
 
-def band_lerp(win, rel, s_lo: int, s_hi: int):
+def band_lerp(win, rel, s_lo: int, s_hi: int,
+              max_chunk_bytes: int = 256 << 20):
     """Fractional interpolation of window rows without per-element gathers.
 
     win (B, N, W); rel (B, N, C) float window positions for each of C
@@ -117,7 +118,12 @@ def band_lerp(win, rel, s_lo: int, s_hi: int):
     where the shifted window columns come from ONE constant banded one-hot
     einsum on the MXU (f32 HIGHEST — exact selection) instead of W slices
     (lane-shift relayouts) or a gather.
-    """
+
+    Memory: the einsum materializes a (B, N, C, S) f32 intermediate (plus
+    its same-shape hat weights) — ~750 MB at B=32 x 5 s with S=74.  When
+    that would exceed ``max_chunk_bytes`` the N axis is processed in
+    ``lax.map`` chunks so larger batch x bucket combinations can't spike
+    HBM (ADVICE r3 #4)."""
     B, N, W = win.shape
     C = rel.shape[-1]
     S = s_hi - s_lo + 2                      # +1 for the lerp upper tap
@@ -125,8 +131,23 @@ def band_lerp(win, rel, s_lo: int, s_hi: int):
     s_ = np.arange(S)[None, None, :]
     m_ = np.arange(W)[:, None, None]
     T = jnp.asarray(m_ == l_ + s_lo + s_, jnp.float32)       # (W, C, S)
-    wb = jnp.einsum("bnm,mls->bnls", win, T,
-                    precision=jax.lax.Precision.HIGHEST)     # (B, N, C, S)
-    pos = rel[..., None] - (jnp.asarray(l_ + s_lo + s_, jnp.float32))
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos))
-    return jnp.sum(wb * w, axis=-1)
+    offs = jnp.asarray(l_ + s_lo + s_, jnp.float32)
+
+    def compute(win, rel):
+        wb = jnp.einsum("bnm,mls->bnls", win, T,
+                        precision=jax.lax.Precision.HIGHEST)  # (B, n, C, S)
+        pos = rel[..., None] - offs
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(pos))
+        return jnp.sum(wb * w, axis=-1)
+
+    if 2 * B * N * C * S * 4 <= max_chunk_bytes:
+        return compute(win, rel)
+    nc = max(1, max_chunk_bytes // (2 * B * C * S * 4))
+    G = -(-N // nc)
+    pad = G * nc - N
+    win_c = jnp.pad(win, ((0, 0), (0, pad), (0, 0)))
+    rel_c = jnp.pad(rel, ((0, 0), (0, pad), (0, 0)))
+    win_c = win_c.reshape(B, G, nc, W).transpose(1, 0, 2, 3)
+    rel_c = rel_c.reshape(B, G, nc, C).transpose(1, 0, 2, 3)
+    out = jax.lax.map(lambda a: compute(*a), (win_c, rel_c))  # (G, B, nc, C)
+    return out.transpose(1, 0, 2, 3).reshape(B, G * nc, C)[:, :N]

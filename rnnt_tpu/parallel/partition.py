@@ -36,6 +36,9 @@ def _batch_axis(arg_infos):
 
 
 def _shardings(mesh, ax, kinds, infos):
+    # A single-result op gets a bare ShapeDtypeStruct, not a sequence.
+    if not isinstance(infos, (tuple, list)):
+        infos = [infos]
     out = []
     for k, info in zip(kinds, infos):
         rank = len(info.shape)

@@ -50,11 +50,13 @@ def _load_tokenizer(cfg: Config) -> UnigramTokenizer:
 def _load_datasets(cfg: Config):
     dc = cfg.data
     if dc.dataset == "synthetic":
-        train = synthetic_dataset(dc.synthetic_size, dc.synthetic_seconds, seed=0)
+        train = synthetic_dataset(dc.synthetic_size, dc.synthetic_seconds,
+                                  seed=0, max_words=dc.synthetic_max_words)
         if dc.eval_on_train:
             return train, train
         evals = synthetic_dataset(max(dc.synthetic_size // 8, 8),
-                                  dc.synthetic_seconds, seed=1)
+                                  dc.synthetic_seconds, seed=1,
+                                  max_words=dc.synthetic_max_words)
         return train, evals
     if dc.dataset not in ("librispeech", "commonvoice"):
         raise ValueError(f"unknown dataset {dc.dataset}")
@@ -178,8 +180,12 @@ def train(cfg: Config, *, output_base: str = "experiments",
             DEVICE_SIDE_KINDS, DEVICE_SIDE_KINDS_FULL)
         aug_cfgs = cfg.data.augmentations
         if cfg.data.augment_device:
+            from rnnt_tpu.data.augment_device import (
+                warn_stripped_param_mismatch)
             skip = (DEVICE_SIDE_KINDS_FULL if full_device_augment
                     else DEVICE_SIDE_KINDS)
+            stripped = [c for c in aug_cfgs if c.get("kind") in skip]
+            warn_stripped_param_mismatch(stripped)
             aug_cfgs = [c for c in aug_cfgs if c.get("kind") not in skip]
         augmentor = build_augmentor(aug_cfgs) if aug_cfgs else None
     elif cfg.data.augment and full_device_augment:
@@ -255,6 +261,18 @@ def train(cfg: Config, *, output_base: str = "experiments",
         device_augment=cfg.data.augment and cfg.data.augment_device),
         donate_argnums=(0,))
     eval_forward = jax.jit(make_eval_forward(spec, fspec, tc.precision))
+    # Cross-objective comparable eval metric: the EXACT transducer NLL on
+    # the eval stream, regardless of the training objective — pruned-loss
+    # A/Bs (scripts/pruned_ab.py) compare variants on this curve, since the
+    # pruned objective (0.5*simple + banded) is not numerically comparable
+    # to the exact NLL.
+    import dataclasses as _dc
+    from rnnt_tpu.train.step import make_loss_fn as _make_loss_fn
+    _exact_spec = (_dc.replace(spec, loss_impl="chunked")
+                   if spec.loss_impl == "pruned" else spec)
+    _exact_loss = _make_loss_fn(_exact_spec, fspec, tc.precision)
+    eval_loss_fn = jax.jit(
+        lambda p, ms, b: _exact_loss(p, ms, b, None, False)[0])
     max_eval_tokens = max(tc.token_buckets)
     decode_fn = jax.jit(lambda p, a, tl: greedy_decode(
         p, a, tl, spec.predictor, spec.joint, max_tokens=max_eval_tokens))
@@ -312,10 +330,14 @@ def train(cfg: Config, *, output_base: str = "experiments",
         eval_iter = BatchIterator(
             eval_ds, tokenizer, buckets, batch_size=tc.global_batch_size,
             shuffle=False, drop_last=False,
-            max_batches=max(tc.eval_max_elements // tc.global_batch_size, 1))
+            max_batches=max(tc.eval_max_elements // tc.global_batch_size, 1),
+            wire_dtype=cfg.data.wire_dtype)
         originals, decoded = [], []
+        exact_losses = []
         for eb in eval_iter:
             sb = _shard_batch(eb, mesh)
+            exact_losses.append(
+                float(eval_loss_fn(state.params, state.model_state, sb)))
             audio, t_lens = eval_forward(state.params, state.model_state, sb)
             tokens, counts = decode_fn(
                 {"predictor": state.params["predictor"],
@@ -330,9 +352,13 @@ def train(cfg: Config, *, output_base: str = "experiments",
                 decoded.append(tokenizer.decode(tokens[i, : counts[i]]))
         if originals:
             last_wer = wer(originals, decoded)
-            logger.log(completed, {"wer/eval": last_wer})
+            scalars = {"wer/eval": last_wer}
+            if exact_losses:
+                scalars["loss/eval_exact"] = float(np.mean(exact_losses))
+            logger.log(completed, scalars)
             if is_main:
-                print(f"eval wer at step {completed}: {last_wer:.4f}")
+                print(f"eval wer at step {completed}: {last_wer:.4f} "
+                      f"(exact nll {scalars.get('loss/eval_exact', float('nan')):.3f})")
                 for o, d in list(zip(originals, decoded))[:3]:
                     print(f"  ref: {o}\n  hyp: {d}")
 
@@ -349,7 +375,8 @@ def train(cfg: Config, *, output_base: str = "experiments",
                            augmentor=augmentor, shuffle=True, seed=epoch,
                            num_workers=cfg.data.num_workers,
                            worker_mode=cfg.data.worker_mode,
-                           shard_id=jax.process_index(), num_shards=n_proc)
+                           shard_id=jax.process_index(), num_shards=n_proc,
+                           wire_dtype=cfg.data.wire_dtype)
         from rnnt_tpu.data.pipeline import PrefetchIterator
         for batch in PrefetchIterator(it, depth=4):
             sb = _shard_batch(batch, mesh)

@@ -29,6 +29,18 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def decode_wire_audio(audio: jax.Array) -> jax.Array:
+    """Decode int16 wire-format audio (data/dataset.py WIRE_SCALE) on
+    device; f32 audio passes through.  The int16 wire halves the
+    host->device transfer bytes — on a tunneled/remote device that transfer
+    is the e2e training bottleneck (BASELINE.md round 4)."""
+    if jnp.issubdtype(audio.dtype, jnp.integer):
+        from rnnt_tpu.data.dataset import WIRE_SCALE
+
+        return audio.astype(jnp.float32) * (1.0 / WIRE_SCALE)
+    return audio
+
+
 def feature_lens_from_samples(audio_lens: jax.Array,
                               fspec: FeaturizerSpec) -> jax.Array:
     if fspec.center:
@@ -61,7 +73,7 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
 
     def loss_fn(params, model_state, batch, rng, training: bool):
-        audio_in = batch["audio"]
+        audio_in = decode_wire_audio(batch["audio"])
         audio_lens = batch["audio_lens"]
         if device_augment and training and rng is not None:
             rng, da_rng = jax.random.split(rng)
@@ -161,7 +173,8 @@ def make_eval_forward(spec: RNNTSpec, fspec: FeaturizerSpec,
     def forward(params, model_state, batch):
         from rnnt_tpu.models.encoder import encoder_apply
 
-        feats = featurize(batch["audio"]).astype(compute_dtype)
+        feats = featurize(decode_wire_audio(batch["audio"])).astype(
+            compute_dtype)
         feat_lens = feature_lens_from_samples(batch["audio_lens"], fspec)
         audio, _ = encoder_apply(params["encoder"], model_state["encoder"],
                                  feats, spec.encoder, training=False)

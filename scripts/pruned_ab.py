@@ -27,23 +27,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def run_variant(name: str, overrides: list[str], steps: int,
-                output_base: str) -> dict:
+                output_base: str, config_name: str = "tiny_conv",
+                size: int = 32, seconds: float = 0.0,
+                max_words: int = 0, eval_steps: int = 100) -> dict:
     from rnnt_tpu.cli.train import resolve_config
     from rnnt_tpu.config.config import apply_overrides, load_config
     from rnnt_tpu.train.loop import train
 
-    cfg = load_config(resolve_config("tiny_conv"))
+    cfg = load_config(resolve_config(config_name))
+    cfg.data.dataset = "synthetic"
     cfg.data.eval_on_train = True
     cfg.data.augment = False
     # The round-1 exact-path proof overfit 32 utterances in 400 steps
     # (WER 0.023); 128 utterances never break the blank barrier by step 400.
-    cfg.data.synthetic_size = 32
-    cfg.training.num_epochs = 1000          # max_steps is the stop signal
+    cfg.data.synthetic_size = size
+    if seconds:
+        cfg.data.synthetic_seconds = seconds
+    if max_words:
+        cfg.data.synthetic_max_words = max_words
+    cfg.training.num_epochs = 10 ** 6       # max_steps is the stop signal
     cfg.training.total_steps = steps
     cfg.training.log_steps = 25
-    cfg.training.eval_steps = 100
+    cfg.training.eval_steps = eval_steps
     cfg.training.checkpoint_steps = 10 ** 9  # no checkpoints mid-A/B
-    cfg.training.eval_max_elements = 32
+    cfg.training.eval_max_elements = min(size, 32)
     apply_overrides(cfg, overrides)
     cfg.model_name = f"pruned_ab_{name}"
 
@@ -53,7 +60,7 @@ def run_variant(name: str, overrides: list[str], steps: int,
     latest = sorted((p for p in run_dir.glob("run-*")
                      if (p / "metrics.jsonl").exists()),
                     key=lambda p: int(p.name.split("-")[1]))[-1]
-    curve, wers = [], []
+    curve, wers, exact = [], [], []
     with open(latest / "metrics.jsonl") as f:
         for line in f:
             rec = json.loads(line)
@@ -61,8 +68,11 @@ def run_variant(name: str, overrides: list[str], steps: int,
                 curve.append((rec["step"], rec["loss/train"]))
             if "wer/eval" in rec:
                 wers.append((rec["step"], rec["wer/eval"]))
+            if "loss/eval_exact" in rec:
+                exact.append((rec["step"], rec["loss/eval_exact"]))
     return {"name": name, "final_wer": final_wer, "loss_curve": curve,
-            "wer_curve": wers, "run_dir": str(latest)}
+            "wer_curve": wers, "exact_nll_curve": exact,
+            "run_dir": str(latest)}
 
 
 def main(argv=None):
@@ -72,6 +82,15 @@ def main(argv=None):
     ap.add_argument("--bands", type=int, nargs="*", default=[8, 16])
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--output-base", default="experiments")
+    ap.add_argument("--config", default="tiny_conv",
+                    help="base_convjs for the flagship-scale A/B")
+    ap.add_argument("--size", type=int, default=32)
+    ap.add_argument("--seconds", type=float, default=0.0)
+    ap.add_argument("--max-words", type=int, default=0,
+                    help="e.g. 60 for flagship-scale target U")
+    ap.add_argument("--eval-steps", type=int, default=100)
+    ap.add_argument("--tag", default="",
+                    help="suffix for docs/pruned_ab{tag}.json")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -80,26 +99,35 @@ def main(argv=None):
 
     variants = []
     if not args.skip_exact:
-        variants.append(("exact", ["training.loss_impl=auto"]))
+        variants.append(("exact" + args.tag, ["training.loss_impl=auto"]))
     for band in args.bands:
-        variants.append((f"pruned{band}", [
+        variants.append((f"pruned{band}{args.tag}", [
             "training.loss_impl=pruned",
             f"training.pruned_band={band}"]))
 
-    results = [run_variant(name, ovr, args.steps, args.output_base)
+    results = [run_variant(name, ovr, args.steps, args.output_base,
+                           config_name=args.config, size=args.size,
+                           seconds=args.seconds, max_words=args.max_words,
+                           eval_steps=args.eval_steps)
                for name, ovr in variants]
 
     out = Path("docs")
     out.mkdir(exist_ok=True)
-    with open(out / "pruned_ab.json", "w") as f:
-        json.dump({"steps": args.steps, "results": results}, f, indent=1)
+    with open(out / f"pruned_ab{args.tag}.json", "w") as f:
+        json.dump({"steps": args.steps, "config": args.config,
+                   "size": args.size, "seconds": args.seconds,
+                   "max_words": args.max_words, "results": results}, f,
+                  indent=1)
 
     print("\n| variant | " + " | ".join(
-        f"WER@{s}" for s, _ in results[0]["wer_curve"]) + " | final loss |")
-    print("|---|" + "---|" * (len(results[0]["wer_curve"]) + 1))
+        f"WER@{s}" for s, _ in results[0]["wer_curve"])
+        + " | exact NLL@end | final train loss |")
+    print("|---|" + "---|" * (len(results[0]["wer_curve"]) + 2))
     for r in results:
         wer_cells = " | ".join(f"{w:.3f}" for _, w in r["wer_curve"])
-        print(f"| {r['name']} | {wer_cells} | "
+        nll = (f"{r['exact_nll_curve'][-1][1]:.3f}"
+               if r["exact_nll_curve"] else "-")
+        print(f"| {r['name']} | {wer_cells} | {nll} | "
               f"{r['loss_curve'][-1][1]:.3f} |")
 
 

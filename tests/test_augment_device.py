@@ -270,6 +270,54 @@ def test_resample_lerp_oracle():
         assert np.all(np.asarray(out[b, m:]) == 0.0)
 
 
+def test_resample_lerp_band_edges():
+    """The static interpolation band holds at the recipe extremes
+    (±3 semitones) AND at the documented 1.27 edge — no silent mid-signal
+    zeros (VERDICT r3 #7: at the old s_hi=35 band, ratio 1.27 pushed lane
+    127's offset out of band)."""
+    rng = np.random.RandomState(21)
+    L, n = 6000, 5800
+    ratios = np.asarray([2 ** (3 / 12), 2 ** (-3 / 12), 1.27, 0.72],
+                        np.float32)
+    B = len(ratios)
+    buf = np.zeros((B, L), np.float32)
+    # DC-offset signal: any silently-zeroed lane is instantly visible.
+    buf[:, :n] = 1.0 + 0.1 * rng.randn(B, n).astype(np.float32)
+    out, new_lens = dev.resample_lerp(
+        jnp.asarray(buf), jnp.asarray([n] * B, jnp.int32),
+        jnp.asarray(ratios))
+    for b in range(B):
+        m = int(new_lens[b])
+        src = np.arange(m, dtype=np.float32) * ratios[b]
+        expected = np.interp(src, np.arange(L, dtype=np.float32), buf[b])
+        np.testing.assert_allclose(np.asarray(out[b, :m]), expected,
+                                   atol=2e-4)
+
+
+def test_resample_lerp_out_of_range_ratio_clamps():
+    """Ratios beyond the band saturate at the documented clip instead of
+    producing silent zeros."""
+    L = 1024
+    buf = jnp.ones((1, L), jnp.float32)
+    out, new_lens = dev.resample_lerp(buf, jnp.asarray([L], jnp.int32),
+                                      jnp.asarray([1.6], jnp.float32))
+    m = int(new_lens[0])
+    assert m == int(L / 1.275)        # clamped ratio drives the new length
+    np.testing.assert_allclose(np.asarray(out[0, :m]), 1.0, atol=1e-5)
+
+
+def test_warn_stripped_param_mismatch():
+    warns = dev.warn_stripped_param_mismatch([
+        {"kind": "atempo", "p": 0.5, "min_tempo_rate": 0.75,
+         "max_tempo_rate": 1.25},                      # matches: no warning
+        {"kind": "trim", "p": 0.9},                    # p differs
+        {"kind": "white_noise", "p": 0.5},             # no device equivalent
+    ])
+    assert len(warns) == 2
+    assert "trim" in warns[0] and "p=0.9" in warns[0]
+    assert "white_noise" in warns[1]
+
+
 def test_trim_matches_host():
     rng = np.random.RandomState(14)
     L, n = 4000, 3500

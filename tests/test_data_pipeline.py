@@ -39,6 +39,35 @@ def test_batch_iterator_shapes_and_masks():
             assert b["target_lens"][i] > 0
 
 
+def test_int16_wire_roundtrip():
+    """wire_dtype=int16 collation halves H2D bytes; the device-side decode
+    (train/step.py decode_wire_audio) reconstructs audio within the 16-bit
+    quantum, and losses computed from the wire batch match f32 closely."""
+    import jax.numpy as jnp
+
+    from rnnt_tpu.data.dataset import WIRE_SCALE
+    from rnnt_tpu.train.step import decode_wire_audio
+
+    tok = UnigramTokenizer.from_file(SPM)
+    spec = FeaturizerSpec()
+    buckets = Buckets.from_frames([512], [64], spec)
+    ds = synthetic_dataset(8, 2.0, seed=0)
+    bf = next(iter(BatchIterator(ds, tok, buckets, batch_size=4,
+                                 shuffle=False)))
+    bi = next(iter(BatchIterator(ds, tok, buckets, batch_size=4,
+                                 shuffle=False, wire_dtype="int16")))
+    assert bi["audio"].dtype == np.int16
+    dec = np.asarray(decode_wire_audio(jnp.asarray(bi["audio"])))
+    assert dec.dtype == np.float32
+    np.testing.assert_allclose(dec, bf["audio"], atol=0.5 / WIRE_SCALE + 1e-7)
+    # padding survives exactly (0 encodes to 0)
+    for i in range(4):
+        assert (dec[i, bf["audio_lens"][i]:] == 0).all()
+    # f32 passthrough is the identity
+    same = decode_wire_audio(jnp.asarray(bf["audio"]))
+    np.testing.assert_array_equal(np.asarray(same), bf["audio"])
+
+
 def test_iterator_deterministic_with_seed():
     tok = UnigramTokenizer.from_file(SPM)
     spec = FeaturizerSpec()
