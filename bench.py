@@ -194,7 +194,7 @@ def bench_pipeline() -> None:
 
 def bench_train_e2e(device_augment=False,
                     budget_s: float = 60.0, batch_size: int = 32,
-                    emit: bool = True) -> float:
+                    emit: bool = True, wire: str = "") -> float:
     """HONEST end-to-end training throughput: host pipeline (full
     fullcausal augmentation recipe, 2 workers) -> PrefetchIterator ->
     the real jitted train step, sustained for >= ``budget_s`` wall seconds.
@@ -223,6 +223,8 @@ def bench_train_e2e(device_augment=False,
     from rnnt_tpu.train.step import TrainState, make_train_step
 
     cfg = load_config(resolve_config("base_convjs"))
+    if wire:
+        cfg.data.wire_dtype = wire
     spec = build_model_spec(cfg)
     fspec = build_featurizer_spec(cfg)
     ds = synthetic_dataset(size=512, seconds=5.0)
@@ -277,6 +279,8 @@ def bench_train_e2e(device_augment=False,
     value = audio_seconds / dt
     tag = {False: "host-augment", True: "device-augment",
            "full": "device-augment-full"}[device_augment]
+    if wire:
+        tag += f", {wire} wire"
     if emit:
         print(json.dumps({
             "metric": f"train e2e audio-seconds/s (host pipeline + step, "
@@ -453,7 +457,8 @@ if __name__ == "__main__":
               else "--device-augment" in sys.argv)
         bench_train_e2e(device_augment=da,
                         budget_s=_argval("--budget", 60.0, float),
-                        batch_size=_argval("--batch", 32, int))
+                        batch_size=_argval("--batch", 32, int),
+                        wire=_argval("--wire", ""))
     elif "--loss" in sys.argv:
         bench_loss(batch_size=_argval("--batch", 8, int))
     else:

@@ -135,6 +135,11 @@ class TrainingConfig:
     pruned_band: int = 16
     pruned_simple_scale: float = 0.5
     pruned_scale: float = 1.0
+    # k2-style pruned warmup: for the first N steps train the EXACT
+    # full-lattice loss + simple heads (loss_impl "pruned_warmup"), then
+    # switch to the banded loss — narrow bands around untrained alignments
+    # prune real probability mass (flagship-scale A/B, BASELINE.md r4).
+    pruned_warmup_steps: int = 0
     # > 0 clamps d(loss)/d(logits) in the transducer backward (the
     # torchaudio rnnt_loss `clamp`; the reference tunes it in optuna but
     # hardcodes it off in the trainer, rnnt/model.py:40).
@@ -179,7 +184,9 @@ class DataConfig:
     augmentations: list = field(default_factory=list)
     # Audio H2D wire format: "int16" halves host->device transfer bytes
     # ((near-)lossless for 16-bit PCM corpora; decoded on device,
-    # train/step.py decode_wire_audio).  "float32" sends raw floats.
+    # train/step.py decode_wire_audio).  "mulaw" (8-bit G.711-style
+    # companding, ~38 dB SNR) quarters them — for transfer-starved hosts.
+    # "float32" sends raw floats.
     wire_dtype: str = "int16"
     # Synthetic-data knobs (used when no real dataset is available).
     synthetic_size: int = 256

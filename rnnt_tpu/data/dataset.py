@@ -30,6 +30,18 @@ from rnnt_tpu.ops.stft import FeaturizerSpec
 # train/step.py decode_wire_audio): 2x headroom over full-scale PCM.
 WIRE_SCALE = 16384.0
 
+# mu-law (G.711-style, mu=255) 8-bit wire: 4x fewer bytes than f32 at
+# ~38 dB SNR — an OPTION for transfer-starved hosts (the remote-tunnel
+# rig moves ~27 MB/s interleaved with compute; BASELINE.md round 4).
+# uint8 with bias 128; 0.0 encodes to 128 so padding stays cheap.
+_MU = 255.0
+
+
+def mulaw_encode(audio: "np.ndarray") -> "np.ndarray":
+    x = np.clip(audio, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
+    return (np.rint(y * 127.0) + 128.0).astype(np.uint8)
+
 _WORDS = (
     "the of and to in a is that it was for on are as with his they at be "
     "this have from or one had by word but not what all were we when your "
@@ -236,8 +248,8 @@ class BatchIterator:
         self.drop_last = drop_last
         self.max_batches = max_batches
         self.num_workers = num_workers
-        if wire_dtype not in ("float32", "int16"):
-            raise ValueError(f"wire_dtype must be float32|int16, "
+        if wire_dtype not in ("float32", "int16", "mulaw"):
+            raise ValueError(f"wire_dtype must be float32|int16|mulaw, "
                              f"got {wire_dtype!r}")
         self.wire_dtype = wire_dtype
         if worker_mode not in ("thread", "process"):
@@ -334,5 +346,7 @@ class BatchIterator:
             # device side auto-decodes (train/step.py decode_wire_audio).
             audio = np.clip(np.rint(audio * WIRE_SCALE),
                             -32768, 32767).astype(np.int16)
+        elif self.wire_dtype == "mulaw":
+            audio = mulaw_encode(audio)
         return {"audio": audio, "audio_lens": audio_lens,
                 "targets": targets, "target_lens": target_lens}

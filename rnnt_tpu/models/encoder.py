@@ -131,11 +131,17 @@ def encoder_init(key: jax.Array, spec: EncoderSpec, dtype=jnp.float32):
 
 
 def _dropout(x, rate, training, rng):
+    """Inverted dropout with a uint16 threshold mask: 16 random bits per
+    element instead of bernoulli's 32-bit uniform — measured +1.7% on the
+    full flagship train step (30.5 vs 31.0 ms, BASELINE.md r4).  keep is
+    quantized to 1/65536 and the rescale uses the quantized value, so the
+    expectation stays exactly E[y] = x."""
     if not training or rate == 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    thresh = int(round((1.0 - rate) * 65536.0))
+    keep = thresh / 65536.0
+    bits = jax.random.bits(rng, x.shape, jnp.uint16)
+    return jnp.where(bits < thresh, x * (1.0 / keep), 0.0).astype(x.dtype)
 
 
 def _block_apply(params, state, x, b: JasperBlockSpec, training, rng):

@@ -89,11 +89,13 @@ def _linear(p, x):
 
 
 def _dropout(x, rate, training, rng):
+    """uint16 threshold-mask dropout (see models/encoder.py _dropout)."""
     if not training or rate == 0.0 or rng is None:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+    thresh = int(round((1.0 - rate) * 65536.0))
+    keep = thresh / 65536.0
+    bits = jax.random.bits(rng, x.shape, jnp.uint16)
+    return jnp.where(bits < thresh, x * (1.0 / keep), 0.0).astype(x.dtype)
 
 
 # ------------------------------ conv predictor ------------------------------

@@ -199,45 +199,32 @@ def prune_bounds(gamma, t_lens, u_lens, band: int):
 
 # --------------------------- banded alpha recursion ---------------------------
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def banded_to_full(lp_band, bounds, U1: int):
-    """Scatter banded (B, T, S) log-probs to the full (B, T, U1) lattice
+    """Expand banded (B, T, S) log-probs to the full (B, T, U1) lattice
     with log-zero outside the band.
 
     The production path then runs the EXISTING full-lattice DP (the Pallas
     alpha kernel, ops/lattice_pallas.py, with its GSPMD partitioning):
     out-of-band cells are log-zero so every path leaving the band scores
     -inf — exactly the banded recursion's semantics, without a sequential
-    per-frame scan (measured 17 ms -> ~2 ms fwd+bwd on v5e at B=32).  The
-    DP itself has no V dimension, so un-banding it costs no joint FLOPs.
+    per-frame scan.  The DP itself has no V dimension, so un-banding it
+    costs no joint FLOPs.
 
-    custom_vjp because band->full is injective ((t,s) -> u = bounds[t]+s):
-    the adjoint is a plain gather of the cotangent at those cells — XLA's
-    default transpose of the forward gather is a scatter-add, which
-    measured ~6 ms/step slower on v5e."""
-    return _banded_to_full_impl(lp_band, bounds, U1)
-
-
-def _banded_to_full_impl(lp_band, bounds, U1: int):
+    The expansion is a per-row one-hot CONTRACTION, not a gather: v5e runs
+    per-element gathers at ~11 ns/element, and the former
+    take_along_axis-based scatter (with a gather-adjoint custom_vjp) cost
+    16.7 ms fwd+bwd at (32, 250, 16, 65) — over half the pruned loss.
+    AD transposes the einsum into another einsum, so neither direction
+    touches the gather unit and no custom_vjp is needed."""
     B, T, S = lp_band.shape
-    rel = jnp.arange(U1)[None, None, :] - bounds[:, :, None]   # (B, T, U1)
+    rel = jnp.arange(U1, dtype=jnp.int32)[None, None, :] \
+        - bounds[:, :, None]                                    # (B, T, U1)
     inband = (rel >= 0) & (rel < S)
-    vals = jnp.take_along_axis(lp_band, jnp.clip(rel, 0, S - 1), axis=-1)
+    onehot = (rel[:, :, None, :]
+              == jnp.arange(S, dtype=jnp.int32)[None, None, :, None])
+    vals = jnp.einsum("bts,btsu->btu", lp_band.astype(jnp.float32),
+                      onehot.astype(jnp.float32))
     return jnp.where(inband, vals, NEG)
-
-
-def _b2f_fwd(lp_band, bounds, U1):
-    return _banded_to_full_impl(lp_band, bounds, U1), (bounds,
-                                                       lp_band.shape[-1])
-
-
-def _b2f_bwd(U1, res, g):
-    bounds, S = res
-    idx = bounds[:, :, None] + jnp.arange(S)[None, None, :]   # (B, T, S)
-    return jnp.take_along_axis(g, idx, axis=-1), None
-
-
-banded_to_full.defvjp(_b2f_fwd, _b2f_bwd)
 
 
 def banded_alpha_loss(lp_blank, lp_label, bounds, t_lens, u_lens):
@@ -398,6 +385,41 @@ def _resolve_pruned_impl() -> str:
 
 
 # ------------------------------- public entry -------------------------------
+
+def pruned_warmup_loss(joint_params, audio, text, targets, t_lens, u_lens,
+                       blank: int, *, simple_scale: float = 0.5,
+                       chunk_size: int = 32, reduction: str = "mean",
+                       grad_clamp: float = -1.0):
+    """Warmup objective for pruned training (k2/icefall practice: train
+    the full lattice while the simple heads learn, THEN prune): the EXACT
+    full-lattice loss plus ``simple_scale`` x the simple-joint NLL, so the
+    occupancy bands are informed by trained simple heads when
+    ``training.pruned_warmup_steps`` expires and the banded loss takes
+    over.  Flagship-scale A/B evidence for why (docs/pruned_ab_base_long
+    .json): from-scratch band-8 training lags the exact loss badly
+    (WER 0.52 vs 0.10 at step 1500), band 16 lags mildly (0.23) — narrow
+    bands around untrained alignments prune real probability mass."""
+    from rnnt_tpu.ops.transducer import transducer_loss
+    from rnnt_tpu.ops.transducer_pallas import transducer_loss_pallas
+
+    lpb_s, lpl_s = simple_joint_log_probs(
+        joint_params["simple"], audio, text, targets, u_lens, blank)
+    losses_simple = lattice_nll(lpb_s, lpl_s, t_lens, u_lens)
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        exact = transducer_loss_pallas(
+            joint_params, audio, text, targets, t_lens, u_lens, blank,
+            grad_clamp=grad_clamp, reduction="none")
+    else:
+        exact = transducer_loss(
+            joint_params, audio, text, targets, t_lens, u_lens, blank,
+            chunk_size=chunk_size, grad_clamp=grad_clamp, reduction="none")
+    losses = exact + simple_scale * losses_simple
+    if reduction == "mean":
+        return jnp.mean(losses)
+    if reduction == "sum":
+        return jnp.sum(losses)
+    return losses
 
 def pruned_transducer_loss(joint_params, audio, text, targets, t_lens,
                            u_lens, blank: int, *, band: int = 16,

@@ -260,6 +260,21 @@ def train(cfg: Config, *, output_base: str = "experiments",
         spec_augment=tc.spec_augment,
         device_augment=cfg.data.augment and cfg.data.augment_device),
         donate_argnums=(0,))
+    # k2-style pruned warmup: exact-loss (+simple heads) step for the
+    # first pruned_warmup_steps, then the banded step takes over (one
+    # extra compile at the switch; resume-safe — selection is by
+    # state.step).
+    warm_step_fn = None
+    warmup_until = 0
+    if spec.loss_impl == "pruned" and tc.pruned_warmup_steps > 0:
+        import dataclasses as _dcw
+
+        warmup_until = tc.pruned_warmup_steps
+        warm_step_fn = jax.jit(make_train_step(
+            _dcw.replace(spec, loss_impl="pruned_warmup"), fspec, tx,
+            tc.precision, mesh=mesh, spec_augment=tc.spec_augment,
+            device_augment=cfg.data.augment and cfg.data.augment_device),
+            donate_argnums=(0,))
     eval_forward = jax.jit(make_eval_forward(spec, fspec, tc.precision))
     # Cross-objective comparable eval metric: the EXACT transducer NLL on
     # the eval stream, regardless of the training objective — pruned-loss
@@ -384,7 +399,9 @@ def train(cfg: Config, *, output_base: str = "experiments",
             if profile and completed - start_step == 2:
                 jax.block_until_ready(state.step)
                 jax.profiler.start_trace(str(output_dir / "trace"))
-            state, metrics = step_fn(state, sb, rng)
+            fn = (warm_step_fn if warm_step_fn is not None
+                  and completed < warmup_until else step_fn)
+            state, metrics = fn(state, sb, rng)
             completed += 1
             if profile and completed - start_step == 6:
                 jax.block_until_ready(metrics["loss"])

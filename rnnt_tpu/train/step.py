@@ -30,10 +30,14 @@ class TrainState(NamedTuple):
 
 
 def decode_wire_audio(audio: jax.Array) -> jax.Array:
-    """Decode int16 wire-format audio (data/dataset.py WIRE_SCALE) on
-    device; f32 audio passes through.  The int16 wire halves the
-    host->device transfer bytes — on a tunneled/remote device that transfer
-    is the e2e training bottleneck (BASELINE.md round 4)."""
+    """Decode wire-format audio (data/dataset.py) on device; f32 passes
+    through.  int16 halves the host->device transfer bytes, uint8 mu-law
+    quarters them — on a tunneled/remote device that transfer is the e2e
+    training bottleneck (BASELINE.md round 4)."""
+    if audio.dtype == jnp.uint8:      # mu-law (mu=255, bias 128)
+        y = (audio.astype(jnp.float32) - 128.0) * (1.0 / 127.0)
+        mag = (jnp.power(256.0, jnp.abs(y)) - 1.0) * (1.0 / 255.0)
+        return jnp.sign(y) * mag
     if jnp.issubdtype(audio.dtype, jnp.integer):
         from rnnt_tpu.data.dataset import WIRE_SCALE
 
@@ -99,6 +103,17 @@ def make_loss_fn(spec: RNNTSpec, fspec: FeaturizerSpec, precision: str,
             training=training, rng=rng)
         t_lens = encoder_out_len(feat_lens, spec.encoder)
         from rnnt_tpu.models.rnnt import resolve_loss_impl
+        if spec.loss_impl == "pruned_warmup":
+            # Exact full-lattice loss + simple-head training for the first
+            # training.pruned_warmup_steps (k2 practice; the loop switches
+            # to the banded loss after — see train/loop.py).
+            from rnnt_tpu.ops.transducer_pruned import pruned_warmup_loss
+            loss = pruned_warmup_loss(
+                params["joint"], audio, text, batch["targets"], t_lens,
+                batch["target_lens"], spec.blank_idx,
+                simple_scale=spec.pruned_simple_scale,
+                chunk_size=spec.loss_chunk_size, grad_clamp=spec.grad_clamp)
+            return loss, new_state
         if spec.loss_impl == "pruned":
             from rnnt_tpu.ops.transducer_pruned import pruned_transducer_loss
             loss = pruned_transducer_loss(

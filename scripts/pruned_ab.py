@@ -79,7 +79,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--bands", type=int, nargs="*", default=[8, 16])
+    ap.add_argument("--bands", nargs="*", default=["8", "16"],
+                    help="band widths; '16w300' = band 16 with "
+                         "pruned_warmup_steps=300 (k2-style exact warmup)")
     ap.add_argument("--skip-exact", action="store_true")
     ap.add_argument("--output-base", default="experiments")
     ap.add_argument("--config", default="tiny_conv",
@@ -97,13 +99,18 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    import re
+
     variants = []
     if not args.skip_exact:
         variants.append(("exact" + args.tag, ["training.loss_impl=auto"]))
     for band in args.bands:
-        variants.append((f"pruned{band}{args.tag}", [
-            "training.loss_impl=pruned",
-            f"training.pruned_band={band}"]))
+        m = re.fullmatch(r"(\d+)(?:w(\d+))?", str(band))
+        b, w = int(m.group(1)), int(m.group(2) or 0)
+        name = f"pruned{b}" + (f"w{w}" if w else "") + args.tag
+        ovr = ["training.loss_impl=pruned", f"training.pruned_band={b}",
+               f"training.pruned_warmup_steps={w}"]
+        variants.append((name, ovr))
 
     results = [run_variant(name, ovr, args.steps, args.output_base,
                            config_name=args.config, size=args.size,

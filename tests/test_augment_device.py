@@ -43,6 +43,21 @@ def test_compressor_matches_host(audio, filter_str):
     np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
 
 
+def test_compressor_odd_block_size(audio):
+    """The structured half-block gain lerp (round 4: replaces the 47 ms
+    take_along_axis pair) must match the host np.interp at an ODD ms-block
+    size too (sr=11025 -> block 11, crossover at r=5.5)."""
+    sr = 11025
+    a = host.augmentation_from_filter_string(
+        host.REFERENCE_COMPRESSOR_FILTERS[0])
+    expected = np.stack([a.apply(x, sr, np.random.RandomState(0))
+                         for x in audio])
+    got = np.asarray(dev.compressor(
+        jnp.asarray(audio), sr, a.threshold_db, a.ratio, a.attack_ms,
+        a.release_ms))
+    np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-5)
+
+
 def test_compressor_per_sample_params(audio):
     """Batched per-sample params must equal per-sample host application of
     the matching variant."""

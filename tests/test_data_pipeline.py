@@ -68,6 +68,37 @@ def test_int16_wire_roundtrip():
     np.testing.assert_array_equal(np.asarray(same), bf["audio"])
 
 
+def test_mulaw_wire_roundtrip():
+    """8-bit mu-law wire: companded SNR is good enough for speech-scale
+    signals, padding stays exactly zero, and full-scale values survive."""
+    import jax.numpy as jnp
+
+    from rnnt_tpu.train.step import decode_wire_audio
+
+    tok = UnigramTokenizer.from_file(SPM)
+    spec = FeaturizerSpec()
+    buckets = Buckets.from_frames([512], [64], spec)
+    ds = synthetic_dataset(8, 2.0, seed=0)
+    bf = next(iter(BatchIterator(ds, tok, buckets, batch_size=4,
+                                 shuffle=False)))
+    bm = next(iter(BatchIterator(ds, tok, buckets, batch_size=4,
+                                 shuffle=False, wire_dtype="mulaw")))
+    assert bm["audio"].dtype == np.uint8
+    dec = np.asarray(decode_wire_audio(jnp.asarray(bm["audio"])))
+    x = bf["audio"]
+    # mu-law error bound: quantization step in y is 1/127; |dx/dy| =
+    # ln(256)*(|x|+1/255) so |err| <= ln(256)/127 * (|x| + 1/255) plus
+    # rounding slack.
+    bound = np.log(256.0) / 127.0 * (np.abs(x) + 1 / 255.0) * 0.51 + 1e-6
+    assert np.all(np.abs(dec - x) <= bound)
+    for i in range(4):
+        assert (dec[i, bf["audio_lens"][i]:] == 0).all()
+    # signal-to-quantization-noise on the in-length part
+    err = dec - x
+    snr = 10 * np.log10((x ** 2).sum() / (err ** 2).sum())
+    assert snr > 30.0, snr
+
+
 def test_iterator_deterministic_with_seed():
     tok = UnigramTokenizer.from_file(SPM)
     spec = FeaturizerSpec()

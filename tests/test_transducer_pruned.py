@@ -54,6 +54,35 @@ def test_full_band_equals_exact_loss(setup):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pruned_warmup_loss_composition(setup):
+    """pruned_warmup_loss == exact full-lattice NLL + simple_scale x
+    simple NLL (the k2-style warmup objective), and it carries gradient
+    into BOTH the full joint and the simple heads."""
+    from rnnt_tpu.ops.transducer import lattice_nll
+    from rnnt_tpu.ops.transducer_pruned import pruned_warmup_loss
+
+    jp, audio, text, targets, t_lens, u_lens = setup
+    got = pruned_warmup_loss(jp, audio, text, targets, t_lens, u_lens,
+                             BLANK, simple_scale=0.5, chunk_size=4,
+                             reduction="none")
+    exact = transducer_loss(jp, audio, text, targets, t_lens, u_lens,
+                            BLANK, chunk_size=4, reduction="none")
+    lpb, lpl = simple_joint_log_probs(jp["simple"], audio, text, targets,
+                                      u_lens, BLANK)
+    simple = lattice_nll(lpb, lpl, t_lens, u_lens)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(exact + 0.5 * simple),
+                               rtol=1e-5, atol=1e-5)
+    g = jax.grad(lambda p: pruned_warmup_loss(
+        p, audio, text, targets, t_lens, u_lens, BLANK,
+        simple_scale=0.5, chunk_size=4))(jp)
+    for path in (("out", "w"), ("simple", "am", "w"), ("simple", "lm", "w")):
+        leaf = g
+        for k in path:
+            leaf = leaf[k]
+        assert float(jnp.abs(leaf).sum()) > 0.0, path
+
+
 def test_narrow_band_upper_bounds_exact(setup):
     jp, audio, text, targets, t_lens, u_lens = setup
     exact = np.asarray(transducer_loss(
