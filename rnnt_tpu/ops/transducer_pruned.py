@@ -358,8 +358,13 @@ def _banded_fused_log_probs(joint_params, audio_p, text_p, s_tile,
     sel = jax.nn.one_hot(idx, U1, dtype=dt)                     # (B,n_t,S,U1)
     text_band = jnp.einsum("btsu,buh->btsh", sel, text_p.astype(dt),
                            preferred_element_type=jnp.float32).astype(dt)
-    lbl = jnp.take_along_axis(targets_pad[:, None, :], idx, axis=2)
-    label_onehot = jax.nn.one_hot(lbl, V, dtype=dt)             # (B,n_t,S,V)
+    # Label one-hots for the band WITHOUT an int gather (a (B, n_t, S)
+    # take_along_axis ran at ~11 ns/element = ~1.4 ms here): chain the
+    # band-selection one-hot with the target one-hot — 0/1 matmul on the
+    # MXU, exact.
+    tgt_oh = jax.nn.one_hot(targets_pad, V, dtype=dt)           # (B,U1,V)
+    label_onehot = jnp.einsum("btsu,buv->btsv", sel, tgt_oh,
+                              preferred_element_type=jnp.float32).astype(dt)
     blank_onehot = jax.nn.one_hot(blank, V, dtype=dt)
 
     enc_r = audio_p.reshape(B * n_t, tile, H)
