@@ -32,8 +32,14 @@ def load_torch_checkpoint(path: str):
     return sd
 
 
-def import_to_checkpoint(pt_path: str, out_dir: str, cfg) -> Path:
-    """Core of the CLI, callable from tests: returns the checkpoint dir."""
+def import_to_checkpoint(pt_path: str, out_dir: str, cfg,
+                         step: int | None = None) -> Path:
+    """Core of the CLI, callable from tests: returns the checkpoint dir.
+
+    ``step`` sets ``TrainState.step`` so ``cli/train --resume`` picks up
+    the LR schedule where the reference run left off; ``None`` (default)
+    takes the checkpoint's own ``completed_steps`` (reference
+    rnnt/util.py:7-12) when present, else 0."""
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +52,9 @@ def import_to_checkpoint(pt_path: str, out_dir: str, cfg) -> Path:
 
     spec = build_model_spec(cfg)
     sd = load_torch_checkpoint(pt_path)
+    if step is None:
+        step = int(sd.get("completed_steps", 0)) if isinstance(sd, dict) \
+            else 0
     params, model_state = import_reference_state_dict(sd, spec)
 
     # The reference has no pruned-loss simple heads; if this config trains
@@ -63,9 +72,9 @@ def import_to_checkpoint(pt_path: str, out_dir: str, cfg) -> Path:
         cfg.training.total_steps or 10000, 1))
     opt_state = jax.jit(tx.init)(params)
     state = TrainState(params, opt_state, model_state,
-                       jnp.zeros((), jnp.int32))
+                       jnp.asarray(step, jnp.int32))
     ckpt.save_checkpoint(out_dir, state, cfg, wait=True)
-    return ckpt.checkpoint_dir(out_dir, 0)
+    return ckpt.checkpoint_dir(out_dir, step)
 
 
 def main(argv=None) -> None:
@@ -79,6 +88,11 @@ def main(argv=None) -> None:
                     help="config name or yaml path describing the model")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VALUE", help="config overrides")
+    ap.add_argument("--step", type=int, default=None,
+                    help="TrainState.step for the imported checkpoint "
+                         "(default: the .pt's completed_steps, so resumed "
+                         "training continues the LR schedule; 0 restarts "
+                         "warmup)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -88,7 +102,7 @@ def main(argv=None) -> None:
 
     cfg = load_config(resolve_config(args.config))
     apply_overrides(cfg, args.set)
-    out = import_to_checkpoint(args.pt, args.out, cfg)
+    out = import_to_checkpoint(args.pt, args.out, cfg, step=args.step)
     print(f"imported {args.pt} -> {out}")
     print(f"eval with: python -m rnnt_tpu.cli.eval {out}")
 

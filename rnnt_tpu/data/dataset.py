@@ -31,14 +31,18 @@ from rnnt_tpu.ops.stft import FeaturizerSpec
 WIRE_SCALE = 16384.0
 
 # mu-law (G.711-style, mu=255) 8-bit wire: 4x fewer bytes than f32 at
-# ~38 dB SNR — an OPTION for transfer-starved hosts (the remote-tunnel
+# ~32 dB SNR — an OPTION for transfer-starved hosts (the remote-tunnel
 # rig moves ~27 MB/s interleaved with compute; BASELINE.md round 4).
 # uint8 with bias 128; 0.0 encodes to 128 so padding stays cheap.
+# Encoded at HALF scale (decode_wire_audio multiplies by 2) so the wire
+# keeps the same 2x headroom as int16: host-augmented audio (e.g. chorus
+# sums of delayed copies) can exceed full-scale PCM and must not clip.
 _MU = 255.0
+MULAW_PRESCALE = 0.5
 
 
 def mulaw_encode(audio: "np.ndarray") -> "np.ndarray":
-    x = np.clip(audio, -1.0, 1.0)
+    x = np.clip(audio * MULAW_PRESCALE, -1.0, 1.0)
     y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
     return (np.rint(y * 127.0) + 128.0).astype(np.uint8)
 

@@ -222,8 +222,13 @@ def banded_to_full(lp_band, bounds, U1: int):
     inband = (rel >= 0) & (rel < S)
     onehot = (rel[:, :, None, :]
               == jnp.arange(S, dtype=jnp.int32)[None, None, :, None])
+    # HIGHEST: this is an exact SELECTION of f32 log-probs — the default
+    # TPU precision would round the values through a bf16 MXU pass and
+    # break the full-band==exact-loss invariant in fp32 runs.  S <= 16, so
+    # the f32 pass costs nothing (same pattern as band_lerp).
     vals = jnp.einsum("bts,btsu->btu", lp_band.astype(jnp.float32),
-                      onehot.astype(jnp.float32))
+                      onehot.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
     return jnp.where(inband, vals, NEG)
 
 
@@ -364,7 +369,9 @@ def _banded_fused_log_probs(joint_params, audio_p, text_p, s_tile,
     # MXU, exact.
     tgt_oh = jax.nn.one_hot(targets_pad, V, dtype=dt)           # (B,U1,V)
     label_onehot = jnp.einsum("btsu,buv->btsv", sel, tgt_oh,
-                              preferred_element_type=jnp.float32).astype(dt)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST
+                              ).astype(dt)
     blank_onehot = jax.nn.one_hot(blank, V, dtype=dt)
 
     enc_r = audio_p.reshape(B * n_t, tile, H)

@@ -35,9 +35,11 @@ def decode_wire_audio(audio: jax.Array) -> jax.Array:
     quarters them — on a tunneled/remote device that transfer is the e2e
     training bottleneck (BASELINE.md round 4)."""
     if audio.dtype == jnp.uint8:      # mu-law (mu=255, bias 128)
+        from rnnt_tpu.data.dataset import MULAW_PRESCALE
+
         y = (audio.astype(jnp.float32) - 128.0) * (1.0 / 127.0)
         mag = (jnp.power(256.0, jnp.abs(y)) - 1.0) * (1.0 / 255.0)
-        return jnp.sign(y) * mag
+        return jnp.sign(y) * mag * (1.0 / MULAW_PRESCALE)
     if jnp.issubdtype(audio.dtype, jnp.integer):
         from rnnt_tpu.data.dataset import WIRE_SCALE
 

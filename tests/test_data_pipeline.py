@@ -87,9 +87,10 @@ def test_mulaw_wire_roundtrip():
     dec = np.asarray(decode_wire_audio(jnp.asarray(bm["audio"])))
     x = bf["audio"]
     # mu-law error bound: quantization step in y is 1/127; |dx/dy| =
-    # ln(256)*(|x|+1/255) so |err| <= ln(256)/127 * (|x| + 1/255) plus
-    # rounding slack.
-    bound = np.log(256.0) / 127.0 * (np.abs(x) + 1 / 255.0) * 0.51 + 1e-6
+    # ln(256)*(|x|+1/255); the wire pre-scales by 1/2 (2x headroom) and
+    # decode multiplies back, so |err| <= 2*ln(256)/127 * (|x|/2 + 1/255)
+    # plus rounding slack.
+    bound = np.log(256.0) / 127.0 * (np.abs(x) + 2 / 255.0) * 0.51 + 1e-6
     assert np.all(np.abs(dec - x) <= bound)
     for i in range(4):
         assert (dec[i, bf["audio_lens"][i]:] == 0).all()

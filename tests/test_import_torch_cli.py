@@ -52,7 +52,9 @@ def test_import_then_eval_cli(tmp_path, capsys):
     msg = capsys.readouterr().out
     assert "imported" in msg
 
-    ckpt_dir = out_base / "checkpoint_step_0"
+    # The .pt's completed_steps carries over (ADVICE r4: resumed training
+    # must continue the LR schedule, not restart warmup).
+    ckpt_dir = out_base / "checkpoint_step_685656"
     assert ckpt_dir.exists()
     assert (out_base / "config.yaml").exists()
 
@@ -81,9 +83,12 @@ def test_import_roundtrips_weights(tmp_path):
     pt = tmp_path / "ref.pt"
     _reference_tiny_checkpoint(str(pt))
     cfg = load_config(resolve_config("tiny_conv"))
-    out = import_to_checkpoint(str(pt), str(tmp_path / "out"), cfg)
+    # --step 0 overrides the .pt's completed_steps (restart the schedule).
+    out = import_to_checkpoint(str(pt), str(tmp_path / "out"), cfg, step=0)
+    assert out.name == "checkpoint_step_0"
 
     restored = ckpt.restore_checkpoint(out)
+    assert int(np.asarray(restored["step"])) == 0
     sd = torch.load(str(pt), map_location="cpu", weights_only=True)
     want, _ = import_reference_state_dict(sd, build_model_spec(cfg))
     flat_r = jax.tree_util.tree_leaves_with_path(restored["params"])
