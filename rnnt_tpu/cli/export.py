@@ -32,6 +32,10 @@ def main(argv=None) -> None:
                     help="output dir (default: <checkpoint>/export)")
     ap.add_argument("--frames", type=int, default=8,
                     help="streaming chunk length in feature frames")
+    ap.add_argument("--pred-tokens", type=int, default=16,
+                    help="predictor graph token-window length (must cover "
+                         "the conv predictor's receptive field for exact "
+                         "sliding-window decode, runtime/bundle.py)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
 
@@ -96,7 +100,9 @@ def main(argv=None) -> None:
         json.dumps({"num_states": len(state_meta), "shapes": state_meta}))
 
     # 3. Predictor over a token window (reference rnnt/export_onnx.py:62-66).
-    tokens = jnp.zeros((1, 16), jnp.int32)
+    pred_tokens = max(args.pred_tokens,
+                      getattr(spec.predictor, "receptive_field", 0))
+    tokens = jnp.zeros((1, pred_tokens), jnp.int32)
     save("predictor",
          lambda t: predictor_apply(params["predictor"], t, spec.predictor),
          tokens)
@@ -135,6 +141,7 @@ def main(argv=None) -> None:
         "blank_idx": spec.blank_idx,
         "num_classes": spec.joint.num_classes,
         "predictor_window": getattr(spec.predictor, "receptive_field", 0),
+        "predictor_tokens": pred_tokens,
         "graphs": ["featurize", "encoder", "encoder_streaming",
                    "predictor", "joint"],
     }, indent=2))

@@ -44,7 +44,13 @@ import numpy as np
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("checkpoint")
+    ap.add_argument("checkpoint",
+                    help="checkpoint dir, or an export-bundle dir with "
+                         "--bundle")
+    ap.add_argument("--bundle", action="store_true",
+                    help="serve from an export bundle (StableHLO graphs + "
+                         "manifest ONLY — no model code; runtime/bundle.py)"
+                    )
     ap.add_argument("--config", default=None)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
@@ -57,6 +63,21 @@ def main(argv=None) -> None:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    if args.bundle:
+        from rnnt_tpu.runtime.bundle import BundleRuntime
+
+        runtime = BundleServerRuntime(BundleRuntime(args.checkpoint),
+                                      slots=args.slots)
+        server = ThreadingHTTPServer((args.host, args.port),
+                                     make_handler(runtime))
+        print(f"serving on http://{args.host}:{args.port} "
+              f"(export bundle {args.checkpoint}, {args.slots} sessions)")
+        try:
+            server.serve_forever()
+        finally:
+            runtime.stop()
+        return
 
     from rnnt_tpu.config.config import (
         build_featurizer_spec, build_model_spec, load_config)
@@ -169,6 +190,59 @@ class ServerRuntime:
     def stats(self):
         with self.cond:
             return self.pool.stats()
+
+
+class BundleServerRuntime:
+    """serve --bundle: per-session BundleStream driven synchronously from
+    the request threads (one device program per graph call; the pooled
+    continuous-batching path needs the live model and stays checkpoint-
+    based).  Duck-types ServerRuntime for make_handler."""
+
+    def __init__(self, bundle_runtime, slots: int = 8):
+        self.rt = bundle_runtime
+        self.slots = slots
+        self.lock = threading.Lock()
+        self.sessions: dict[str, object] = {}
+        self._fed_samples = 0
+
+    def open(self) -> str:
+        with self.lock:
+            if len(self.sessions) >= self.slots:
+                raise RuntimeError("all slots in use")
+            sid = uuid.uuid4().hex[:12]
+            self.sessions[sid] = self.rt.open_stream()
+            return sid
+
+    def feed(self, sid: str, audio):
+        with self.lock:
+            stream = self.sessions.get(sid)
+            if stream is None:
+                return None
+            self._fed_samples += len(audio)
+            new = stream.feed(audio)
+            return list(new), stream.text()
+
+    def text(self, sid: str):
+        with self.lock:
+            stream = self.sessions.get(sid)
+            return None if stream is None else stream.text()
+
+    def delete(self, sid: str):
+        with self.lock:
+            stream = self.sessions.pop(sid, None)
+            if stream is None:
+                return ""
+            stream.flush()
+            return stream.text()
+
+    def stats(self):
+        with self.lock:
+            return {"sessions": len(self.sessions),
+                    "fed_samples": self._fed_samples,
+                    "mode": "bundle"}
+
+    def stop(self):
+        pass
 
 
 def resample_to_16k(audio: np.ndarray, rate: int) -> np.ndarray:

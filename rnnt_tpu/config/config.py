@@ -113,6 +113,10 @@ class LRScheduleConfig:
 @dataclass
 class TrainingConfig:
     precision: str = "bf16"        # bf16 | fp32 (activation compute dtype)
+    # Base RNG seed: model init uses PRNGKey(seed), the per-step rng stream
+    # PRNGKey(42 + 1009*seed) (seed 0 reproduces the historical keys).
+    # Multi-seed A/Bs (scripts/pruned_ab.py --seeds) vary this.
+    seed: int = 0
     num_epochs: int = 1
     total_steps: int = 0           # overrides epochs when > 0
     log_steps: int = 50
@@ -188,6 +192,15 @@ class DataConfig:
     # companding, ~38 dB SNR) quarters them — for transfer-starved hosts.
     # "float32" sends raw floats.
     wire_dtype: str = "int16"
+    # Batch staging (data/device_cache.py): "device" stages the
+    # wire-format corpus in HBM once and serves batches as on-device row
+    # gathers (per-step H2D ~128 bytes instead of megabytes — for weak-
+    # PCIe/tunneled hosts); "stream" transfers every batch; "auto"
+    # (default) uses the device cache when there is no host-side
+    # augmentation (augment off or augment_device: full) and the corpus
+    # fits device_cache_budget_mb, else streams.
+    staging: str = "auto"   # auto | stream | device
+    device_cache_budget_mb: int = 2048
     # Synthetic-data knobs (used when no real dataset is available).
     synthetic_size: int = 256
     synthetic_seconds: float = 3.0

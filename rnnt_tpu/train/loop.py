@@ -218,7 +218,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
 
     tx, sched = make_optimizer(tc, total_steps)
 
-    params, model_state = rnnt_init(jax.random.PRNGKey(0), spec)
+    params, model_state = rnnt_init(jax.random.PRNGKey(tc.seed), spec)
     if is_main:
         sizes = {k: sum(x.size for x in jax.tree.leaves(v))
                  for k, v in params.items()}
@@ -255,26 +255,71 @@ def train(cfg: Config, *, output_base: str = "experiments",
         if is_main:
             print(f"Resumed from {resume} at step {int(state.step)}")
 
-    step_fn = jax.jit(make_train_step(
+    raw_step = make_train_step(
         spec, fspec, tx, tc.precision, mesh=mesh,
         spec_augment=tc.spec_augment,
-        device_augment=cfg.data.augment and cfg.data.augment_device),
-        donate_argnums=(0,))
+        device_augment=cfg.data.augment and cfg.data.augment_device)
+    step_fn = jax.jit(raw_step, donate_argnums=(0,))
     # k2-style pruned warmup: exact-loss (+simple heads) step for the
     # first pruned_warmup_steps, then the banded step takes over (one
     # extra compile at the switch; resume-safe — selection is by
     # state.step).
+    raw_warm_step = None
     warm_step_fn = None
     warmup_until = 0
     if spec.loss_impl == "pruned" and tc.pruned_warmup_steps > 0:
         import dataclasses as _dcw
 
         warmup_until = tc.pruned_warmup_steps
-        warm_step_fn = jax.jit(make_train_step(
+        raw_warm_step = make_train_step(
             _dcw.replace(spec, loss_impl="pruned_warmup"), fspec, tx,
             tc.precision, mesh=mesh, spec_augment=tc.spec_augment,
-            device_augment=cfg.data.augment and cfg.data.augment_device),
-            donate_argnums=(0,))
+            device_augment=cfg.data.augment and cfg.data.augment_device)
+        warm_step_fn = jax.jit(raw_warm_step, donate_argnums=(0,))
+
+    # Device-resident staging (data/device_cache.py): stage the corpus in
+    # HBM once and gather batches on device — per-step H2D drops to a
+    # (B,) index vector.  Requires no host-side augmentation (the cache is
+    # augmentation-free; in-step device augmentation keeps epochs fresh)
+    # and a single process (multi-host keeps the streamed per-shard path).
+    cache = None
+    cached_step_fn = cached_warm_fn = None
+    if cfg.data.staging not in ("auto", "stream", "device"):
+        raise ValueError(f"data.staging must be auto|stream|device, "
+                         f"got {cfg.data.staging!r}")
+    want_cache = cfg.data.staging in ("auto", "device")
+    if cfg.data.staging == "device" and augmentor is not None:
+        raise ValueError("data.staging: device requires no host-side "
+                         "augmentation (set data.augment_device: full "
+                         "or data.augment: false)")
+    if want_cache and augmentor is None and jax.process_count() == 1:
+        from rnnt_tpu.data.device_cache import (
+            DeviceSampleCache, make_cached_train_step)
+        budget = cfg.data.device_cache_budget_mb << 20
+        cache = DeviceSampleCache.build(
+            train_ds, tokenizer, buckets, wire_dtype=cfg.data.wire_dtype,
+            mesh=mesh, budget_bytes=budget,
+            sample_rate=fspec.sample_rate,
+            num_workers=cfg.data.num_workers)
+        if cache is None:
+            if cfg.data.staging == "device":
+                raise ValueError(
+                    f"data.staging: device — corpus exceeds "
+                    f"device_cache_budget_mb={cfg.data.device_cache_budget_mb}")
+            if is_main:
+                print("note: corpus exceeds device_cache_budget_mb; "
+                      "streaming batches")
+        else:
+            cached_step_fn = jax.jit(
+                make_cached_train_step(raw_step, mesh=mesh),
+                donate_argnums=(0,))
+            if raw_warm_step is not None:
+                cached_warm_fn = jax.jit(
+                    make_cached_train_step(raw_warm_step, mesh=mesh),
+                    donate_argnums=(0,))
+            if is_main:
+                print(f"device sample cache: {cache.n_samples} samples, "
+                      f"{cache.nbytes() / 2**20:.1f} MiB in HBM")
     eval_forward = jax.jit(make_eval_forward(spec, fspec, tc.precision))
     # Cross-objective comparable eval metric: the EXACT transducer NLL on
     # the eval stream, regardless of the training objective — pruned-loss
@@ -292,7 +337,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
     decode_fn = jax.jit(lambda p, a, tl: greedy_decode(
         p, a, tl, spec.predictor, spec.joint, max_tokens=max_eval_tokens))
 
-    rng = jax.random.PRNGKey(42)
+    rng = jax.random.PRNGKey(42 + 1009 * tc.seed)
     last_wer = float("nan")
     completed = int(state.step)
     start_step = completed
@@ -378,9 +423,48 @@ def train(cfg: Config, *, output_base: str = "experiments",
                     print(f"  ref: {o}\n  hyp: {d}")
 
     done = False
+
+    def post_step(epoch, metrics, audio_secs):
+        """Shared per-step bookkeeping for the streamed and cached paths."""
+        nonlocal completed, audio_secs_since_log, done
+        completed += 1
+        if profile and completed - start_step == 6:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            if is_main:
+                print(f"profiler trace written to {output_dir / 'trace'}")
+        audio_secs_since_log += audio_secs
+        pending.append((completed, metrics))
+        if completed % tc.log_steps == 0:
+            flush_metrics(epoch)
+        if completed % tc.eval_steps == 0 or completed == total_steps:
+            flush_metrics(epoch)
+            run_eval()
+        if completed % tc.hist_steps == 0 and is_main:
+            logger.log_histograms(completed, state.params)
+        if completed % tc.checkpoint_steps == 0 and is_main:
+            # Async: snapshots to host, persists in the background.
+            ckpt.save_checkpoint(output_dir, state, cfg)
+        if completed >= total_steps:
+            done = True
+
     for epoch in range(max(tc.num_epochs, 1)):
         if done:
             break
+        if cache is not None:
+            for gi, idx in cache.epoch_batches(tc.global_batch_size,
+                                               seed=epoch):
+                if profile and completed - start_step == 2:
+                    jax.block_until_ready(state.step)
+                    jax.profiler.start_trace(str(output_dir / "trace"))
+                fn = (cached_warm_fn if cached_warm_fn is not None
+                      and completed < warmup_until else cached_step_fn)
+                state, metrics = fn(state, cache.groups[gi], idx, rng)
+                post_step(epoch, metrics,
+                          cache.batch_audio_seconds(gi, idx))
+                if done:
+                    break
+            continue
         n_proc = jax.process_count()
         if tc.global_batch_size % n_proc:
             raise ValueError(f"global batch {tc.global_batch_size} must "
@@ -402,26 +486,9 @@ def train(cfg: Config, *, output_base: str = "experiments",
             fn = (warm_step_fn if warm_step_fn is not None
                   and completed < warmup_until else step_fn)
             state, metrics = fn(state, sb, rng)
-            completed += 1
-            if profile and completed - start_step == 6:
-                jax.block_until_ready(metrics["loss"])
-                jax.profiler.stop_trace()
-                if is_main:
-                    print(f"profiler trace written to {output_dir / 'trace'}")
-            audio_secs_since_log += float(batch["audio_lens"].sum()) / fspec.sample_rate
-            pending.append((completed, metrics))
-            if completed % tc.log_steps == 0:
-                flush_metrics(epoch)
-            if completed % tc.eval_steps == 0 or completed == total_steps:
-                flush_metrics(epoch)
-                run_eval()
-            if completed % tc.hist_steps == 0 and is_main:
-                logger.log_histograms(completed, state.params)
-            if completed % tc.checkpoint_steps == 0 and is_main:
-                # Async: snapshots to host, persists in the background.
-                ckpt.save_checkpoint(output_dir, state, cfg)
-            if completed >= total_steps:
-                done = True
+            post_step(epoch, metrics,
+                      float(batch["audio_lens"].sum()) / fspec.sample_rate)
+            if done:
                 break
 
     flush_metrics(max(tc.num_epochs, 1) - 1)

@@ -93,6 +93,10 @@ def main(argv=None):
     ap.add_argument("--eval-steps", type=int, default=100)
     ap.add_argument("--tag", default="",
                     help="suffix for docs/pruned_ab{tag}.json")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="run each variant with training.seed=0..N-1 and "
+                         "report mean±spread (VERDICT r4 #2: single-seed "
+                         "synthetic A/Bs are barrier-breaking noise)")
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -112,19 +116,20 @@ def main(argv=None):
                f"training.pruned_warmup_steps={w}"]
         variants.append((name, ovr))
 
-    results = [run_variant(name, ovr, args.steps, args.output_base,
-                           config_name=args.config, size=args.size,
-                           seconds=args.seconds, max_words=args.max_words,
-                           eval_steps=args.eval_steps)
-               for name, ovr in variants]
-
-    out = Path("docs")
-    out.mkdir(exist_ok=True)
-    with open(out / f"pruned_ab{args.tag}.json", "w") as f:
-        json.dump({"steps": args.steps, "config": args.config,
-                   "size": args.size, "seconds": args.seconds,
-                   "max_words": args.max_words, "results": results}, f,
-                  indent=1)
+    results = []
+    for name, ovr in variants:
+        for seed in range(args.seeds):
+            sname = name if args.seeds == 1 else f"{name}-s{seed}"
+            r = run_variant(sname, ovr + [f"training.seed={seed}"],
+                            args.steps, args.output_base,
+                            config_name=args.config, size=args.size,
+                            seconds=args.seconds, max_words=args.max_words,
+                            eval_steps=args.eval_steps)
+            r["variant"] = name
+            r["seed"] = seed
+            results.append(r)
+            # Incremental flush so a killed sweep keeps finished runs.
+            _dump(args, results)
 
     print("\n| variant | " + " | ".join(
         f"WER@{s}" for s, _ in results[0]["wer_curve"])
@@ -136,6 +141,31 @@ def main(argv=None):
                if r["exact_nll_curve"] else "-")
         print(f"| {r['name']} | {wer_cells} | {nll} | "
               f"{r['loss_curve'][-1][1]:.3f} |")
+
+    if args.seeds > 1:
+        import numpy as np
+
+        print("\n| variant | final WER mean±std | exact NLL@end mean±std |")
+        print("|---|---|---|")
+        for name, _ in variants:
+            rs = [r for r in results if r["variant"] == name]
+            wers = np.array([r["final_wer"] for r in rs], float)
+            nlls = np.array([r["exact_nll_curve"][-1][1] for r in rs
+                             if r["exact_nll_curve"]], float)
+            nll_cell = (f"{nlls.mean():.3f}±{nlls.std():.3f}"
+                        if len(nlls) else "-")
+            print(f"| {name} | {wers.mean():.3f}±{wers.std():.3f} "
+                  f"(n={len(rs)}) | {nll_cell} |")
+
+
+def _dump(args, results):
+    out = Path("docs")
+    out.mkdir(exist_ok=True)
+    with open(out / f"pruned_ab{args.tag}.json", "w") as f:
+        json.dump({"steps": args.steps, "config": args.config,
+                   "size": args.size, "seconds": args.seconds,
+                   "max_words": args.max_words, "seeds": args.seeds,
+                   "results": results}, f, indent=1)
 
 
 if __name__ == "__main__":
