@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from rnnt_tpu.config.config import build_featurizer_spec, build_model_spec, load_config
-from rnnt_tpu.data.dataset import BatchIterator, Buckets, librispeech_dataset, synthetic_dataset
+from rnnt_tpu.data.dataset import BatchIterator, Buckets
 from rnnt_tpu.decode.greedy import greedy_decode
 from rnnt_tpu.train import checkpoint as ckpt
 from rnnt_tpu.train.loop import _load_tokenizer
@@ -33,6 +33,11 @@ def main(argv=None) -> None:
     ap.add_argument("--max-elements", type=int, default=200)
     ap.add_argument("--beam", type=int, default=0,
                     help="beam width (0 = greedy decode)")
+    ap.add_argument("--rescore", action="store_true",
+                    help="with --beam: pick each utterance's hypothesis "
+                         "from the final beam (+ greedy candidate) by the "
+                         "EXACT sum-over-alignments NLL "
+                         "(decode/rescore.py marginal_rescore)")
     ap.add_argument("--platform", default=None,
                     help="force a jax platform (e.g. cpu, tpu)")
     args = ap.parse_args(argv)
@@ -49,10 +54,12 @@ def main(argv=None) -> None:
     restored = ckpt.restore_checkpoint(args.checkpoint)
     params, model_state = restored["params"], restored["model_state"]
 
-    if cfg.data.dataset == "synthetic":
-        ds = synthetic_dataset(64, cfg.data.synthetic_seconds, seed=1)
-    else:
-        ds = librispeech_dataset([cfg.data.eval_split], cfg.data.cache_dir)
+    # Same eval corpus the training loop evaluated on (honors
+    # eval_on_train and the synthetic-corpus knobs — a regenerated
+    # seed-1 corpus here used to report nonsense WER on overfit
+    # checkpoints).
+    from rnnt_tpu.train.loop import _load_datasets
+    _, ds = _load_datasets(cfg)
 
     buckets = Buckets.from_frames(cfg.training.frame_buckets,
                                   cfg.training.token_buckets, fspec)
@@ -63,7 +70,22 @@ def main(argv=None) -> None:
 
     eval_forward = jax.jit(make_eval_forward(spec, fspec, cfg.training.precision))
     max_tokens = max(cfg.training.token_buckets)
-    if args.beam > 0:
+    if args.beam > 0 and args.rescore:
+        from rnnt_tpu.decode.beam import beam_decode_nbest
+        from rnnt_tpu.decode.rescore import marginal_rescore
+
+        def _rescored(p, a, tl):
+            toks, cnts, _ = beam_decode_nbest(
+                p, a, tl, spec.predictor, spec.joint,
+                beam_width=args.beam, max_tokens=max_tokens)
+            full = {"predictor": p["predictor"], "joint": p["joint"]}
+            best_t, best_n, _ = marginal_rescore(
+                full, a, tl, toks, cnts, spec.predictor, spec.joint,
+                chunk_size=cfg.training.loss_chunk_size)
+            return best_t, best_n
+
+        decode_fn = jax.jit(_rescored)
+    elif args.beam > 0:
         from rnnt_tpu.decode.beam import beam_decode
         decode_fn = jax.jit(lambda p, a, tl: beam_decode(
             p, a, tl, spec.predictor, spec.joint, beam_width=args.beam,

@@ -84,9 +84,10 @@ def merge_duplicate_scores(tokens: jax.Array, n: jax.Array,
 
 def beam_decode(params, audio: jax.Array, t_lens: jax.Array,
                 predictor_spec, joint_spec, *, beam_width: int = 8,
-                max_tokens: int = 200, expansions_per_frame: int = 3,
+                max_tokens: int = 200, expansions_per_frame: int = 10,
                 length_norm: bool = True, merge_paths: bool = True,
-                frames_per_step: int = 8):
+                frames_per_step: int = 8, search_norm: bool = True,
+                greedy_guard: bool = True):
     """Batched beam decode over encoder output.
 
     params: {"predictor", "joint"}; audio (B, T, H); t_lens (B,).
@@ -96,7 +97,69 @@ def beam_decode(params, audio: jax.Array, t_lens: jax.Array,
 
     ``frames_per_step`` (W) is the blank-run skip window (see module
     docstring); W=1 recovers the plain frame-at-a-time loop.
+
+    ``search_norm`` ranks the candidate POOL by per-token-normalized score
+    (score / (u+1)) while keeping raw path scores for all bookkeeping.
+    Frame-synchronous transducer beams otherwise suffer blank domination:
+    a hypothesis that stops emitting and coasts on blanks pays only blank
+    log-probs per frame, out-scoring the correct prefix mid-utterance
+    (each emission multiplies in an extra p<1 factor), so the correct
+    chain is pruned and cannot be recovered — measured WER 0.42-0.61 vs
+    greedy 0.00 on an overfit flagship checkpoint, *worsening* with K
+    (K=8/16/32), and fixed to 0.00 by this ranking.  Expansion defaults
+    also raised to greedy's per-frame emission cap (10) — 3 choked
+    burst emissions (multiple word-pieces per 80 ms frame).
+
+    ``greedy_guard`` additionally runs the K=1 raw-ranked chain (= greedy
+    decode, at ~1/K the beam's cost) and returns it for any utterance
+    where it out-scores the beam's best under the model — making
+    beam-never-worse-than-greedy a guarantee in model score rather than a
+    hope.  Beam search is myopic: a hypothesis can flood the beam on
+    early-prefix score yet lose to the greedy sequence on the full path
+    (measured on an overfit checkpoint: one utterance where the beam's
+    pick had exact NLL 10.1 vs greedy's 0.001 — the guard keeps decode
+    within a path-score bound of greedy; exact-posterior selection needs
+    N-best marginal rescoring, decode/rescore.py).
     """
+    final = _beam_search_final(
+        params, audio, t_lens, predictor_spec, joint_spec,
+        beam_width=beam_width, max_tokens=max_tokens,
+        expansions_per_frame=expansions_per_frame,
+        merge_paths=merge_paths, frames_per_step=frames_per_step,
+        search_norm=search_norm)
+    K = beam_width
+
+    if length_norm:
+        ranked = final.score / jnp.maximum(final.n, 1).astype(jnp.float32)
+    else:
+        ranked = final.score
+    best = jnp.argmax(ranked, axis=1)  # (B,)
+    tokens = jnp.take_along_axis(final.tokens, best[:, None, None], axis=1)[:, 0]
+    counts = jnp.take_along_axis(final.n, best[:, None], axis=1)[:, 0]
+    scores = jnp.take_along_axis(final.score, best[:, None], axis=1)[:, 0]
+
+    if greedy_guard and K > 1:
+        g_tokens, g_counts, g_scores = beam_decode(
+            params, audio, t_lens, predictor_spec, joint_spec,
+            beam_width=1, max_tokens=max_tokens,
+            expansions_per_frame=expansions_per_frame,
+            length_norm=False, merge_paths=False,
+            frames_per_step=frames_per_step, search_norm=False,
+            greedy_guard=False)
+        use_g = g_scores > scores                                  # (B,)
+        tokens = jnp.where(use_g[:, None], g_tokens, tokens)
+        counts = jnp.where(use_g, g_counts, counts)
+        scores = jnp.where(use_g, g_scores, scores)
+    return tokens, counts, scores
+
+
+def _beam_search_final(params, audio, t_lens, predictor_spec, joint_spec, *,
+                       beam_width: int = 8, max_tokens: int = 200,
+                       expansions_per_frame: int = 10,
+                       merge_paths: bool = True, frames_per_step: int = 8,
+                       search_norm: bool = True):
+    """Core frame-synchronous search; returns the final _BeamState
+    (all K lanes)."""
     B, T, _ = audio.shape
     K = beam_width
     W = max(1, min(frames_per_step, T))
@@ -131,6 +194,7 @@ def beam_decode(params, audio: jax.Array, t_lens: jax.Array,
             .astype(jnp.float32), axis=-1).reshape(B, K, V)
 
         stay = jnp.where(expanding, state.score + lp[..., blank], state.score)
+        u1 = (state.n + 1).astype(jnp.float32)                  # (B, K)
         if allow_emit:
             emit = jnp.where(expanding[..., None], state.score[..., None] + lp,
                              _NEG)
@@ -142,10 +206,23 @@ def beam_decode(params, audio: jax.Array, t_lens: jax.Array,
             # audio-s/s — the extra batched top_k + gathers cost more than
             # the flat top_k saves.  Keep the single flat pool.)
             pool = jnp.concatenate([stay, emit.reshape(B, K * V)], axis=1)
+            if search_norm:
+                u_pool = jnp.concatenate(
+                    [u1, jnp.broadcast_to((u1 + 1.0)[..., None],
+                                          emit.shape).reshape(B, K * V)],
+                    axis=1)
         else:
             pool = stay
+            u_pool = u1
 
-        top_score, top_idx = lax.top_k(pool, K)  # (B, K)
+        if search_norm:
+            # Rank by per-token score; carry RAW path scores forward.
+            # Stays precede emits in the pool, so equal ranks still break
+            # toward stays (the tie rule the skip-window test assumes).
+            _, top_idx = lax.top_k(pool / u_pool, K)
+            top_score = jnp.take_along_axis(pool, top_idx, axis=1)
+        else:
+            top_score, top_idx = lax.top_k(pool, K)  # (B, K)
         is_emit = top_idx >= K
         parent = jnp.where(is_emit, (top_idx - K) // V, top_idx)
         token = jnp.where(is_emit, (top_idx - K) % V, blank).astype(jnp.int32)
@@ -215,13 +292,21 @@ def beam_decode(params, audio: jax.Array, t_lens: jax.Array,
         emit_lp = jnp.where((state.n < max_tokens)[:, :, None, None],
                             emit_lp, _NEG)
         emit_cand = state.score[:, :, None, None] + cum_before[..., None] + emit_lp
-        emit_best = jnp.max(emit_cand, axis=(1, 3))                    # (B, W)
         # All K stays are pool candidates and win ties (lower pool index),
         # so an emission enters the top-K iff it strictly beats the worst
-        # stay.  Dead lanes (score ~ -1e30) make this fire immediately —
-        # matching the frame-at-a-time loop, which refills dead slots with
-        # emissions at the very next frame.
-        emits_at = emit_best > jnp.min(stay_w, axis=1)                 # (B, W)
+        # stay — under the same ranking the expansion rounds use
+        # (per-token-normalized when search_norm).  Dead lanes
+        # (score ~ -1e30) make this fire immediately — matching the
+        # frame-at-a-time loop, which refills dead slots with emissions at
+        # the very next frame.
+        if search_norm:
+            u1w = (state.n + 1).astype(jnp.float32)[:, :, None]        # (B,K,1)
+            emit_best = jnp.max(emit_cand / (u1w + 1.0)[..., None],
+                                axis=(1, 3))                           # (B, W)
+            emits_at = emit_best > jnp.min(stay_w / u1w, axis=1)       # (B, W)
+        else:
+            emit_best = jnp.max(emit_cand, axis=(1, 3))                # (B, W)
+            emits_at = emit_best > jnp.min(stay_w, axis=1)             # (B, W)
         has_emit = jnp.any(emits_at, axis=1)
         w_star = jnp.argmax(emits_at, axis=1).astype(jnp.int32)        # (B,)
 
@@ -252,13 +337,28 @@ def beam_decode(params, audio: jax.Array, t_lens: jax.Array,
         return new_t, new_state
 
     _, final = lax.while_loop(cond, body, (jnp.zeros((B,), jnp.int32), init))
+    return final
 
-    if length_norm:
-        ranked = final.score / jnp.maximum(final.n, 1).astype(jnp.float32)
-    else:
-        ranked = final.score
-    best = jnp.argmax(ranked, axis=1)  # (B,)
-    tokens = jnp.take_along_axis(final.tokens, best[:, None, None], axis=1)[:, 0]
-    counts = jnp.take_along_axis(final.n, best[:, None], axis=1)[:, 0]
-    scores = jnp.take_along_axis(final.score, best[:, None], axis=1)[:, 0]
+
+def beam_decode_nbest(params, audio, t_lens, predictor_spec, joint_spec, *,
+                      beam_width: int = 8, max_tokens: int = 200,
+                      include_greedy: bool = True, **kwargs):
+    """All final beam lanes as an N-best list: (tokens (B, C, L),
+    counts (B, C), scores (B, C)) with C = beam_width (+1 with
+    ``include_greedy``, which appends the K=1 raw chain as a candidate).
+    Feed to ``decode/rescore.py marginal_rescore`` to pick hypotheses by
+    the transducer's exact sum-over-alignments posterior instead of the
+    search's path scores."""
+    final = _beam_search_final(params, audio, t_lens, predictor_spec,
+                               joint_spec, beam_width=beam_width,
+                               max_tokens=max_tokens, **kwargs)
+    tokens, counts, scores = final.tokens, final.n, final.score
+    if include_greedy and beam_width > 1:
+        g_tokens, g_counts, g_scores = beam_decode(
+            params, audio, t_lens, predictor_spec, joint_spec,
+            beam_width=1, max_tokens=max_tokens, length_norm=False,
+            merge_paths=False, search_norm=False, greedy_guard=False)
+        tokens = jnp.concatenate([tokens, g_tokens[:, None]], axis=1)
+        counts = jnp.concatenate([counts, g_counts[:, None]], axis=1)
+        scores = jnp.concatenate([scores, g_scores[:, None]], axis=1)
     return tokens, counts, scores

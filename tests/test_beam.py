@@ -31,9 +31,11 @@ def test_beam_width_one_equals_greedy():
     g_tokens, g_counts = jax.jit(lambda p, a, tl: greedy_decode(
         p, a, tl, pspec, jspec, max_tokens=15,
         max_symbols_per_step=3))(params, audio, t_lens)
+    # search_norm off: beam-1 == greedy holds under RAW pool ranking (the
+    # normalized search ranking is a quality policy, not argmax-faithful).
     b_tokens, b_counts, _ = jax.jit(lambda p, a, tl: beam_decode(
         p, a, tl, pspec, jspec, beam_width=1, max_tokens=15,
-        expansions_per_frame=3))(params, audio, t_lens)
+        expansions_per_frame=3, search_norm=False))(params, audio, t_lens)
 
     for b in range(B):
         g = list(np.asarray(g_tokens[b, : int(g_counts[b])]))
@@ -150,7 +152,8 @@ def test_beam_matches_exhaustive_search_on_tiny_lattice():
 
         tokens, counts, scores = jax.jit(lambda p, a, tl_: beam_decode(
             p, a, tl_, pspec, jspec, beam_width=96, max_tokens=U,
-            expansions_per_frame=U, length_norm=False, merge_paths=True))(
+            expansions_per_frame=U, length_norm=False, merge_paths=True,
+            search_norm=False))(
             params, audio[b : b + 1], t_lens[b : b + 1])
         got = list(np.asarray(tokens[0, : int(counts[0])]))
         assert got == seqs[best], (
@@ -269,7 +272,7 @@ def test_beam_width_one_equals_greedy_lstm():
         max_symbols_per_step=3))(params, audio, t_lens)
     b_tokens, b_counts, _ = jax.jit(lambda p, a, tl: beam_decode(
         p, a, tl, pspec, jspec, beam_width=1, max_tokens=15,
-        expansions_per_frame=3))(params, audio, t_lens)
+        expansions_per_frame=3, search_norm=False))(params, audio, t_lens)
 
     for b in range(B):
         g = list(np.asarray(g_tokens[b, : int(g_counts[b])]))
@@ -313,3 +316,50 @@ def test_window_skip_equals_frame_at_a_time_lstm():
             np.asarray(tok8[b, : int(n8[b])]))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s8),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_marginal_rescore_picks_exact_posterior():
+    """decode/rescore.py: among candidate sequences, the one with the
+    lowest EXACT transducer NLL must be returned — including when beam
+    path scores would rank differently (the overfit-flagship failure mode:
+    path score and marginal disagree under diffuse alignment mass)."""
+    from rnnt_tpu.decode.beam import beam_decode_nbest
+    from rnnt_tpu.decode.rescore import marginal_rescore
+
+    params, pspec, jspec = _setup(seed=4)
+    B, T, H = 2, 12, 16
+    audio = jax.random.normal(jax.random.PRNGKey(9), (B, T, H)) * 0.7
+    t_lens = jnp.array([T, 9])
+
+    toks, cnts, _ = jax.jit(lambda p, a, tl: beam_decode_nbest(
+        p, a, tl, pspec, jspec, beam_width=4, max_tokens=10))(
+        params, audio, t_lens)
+    assert toks.shape[:2] == (B, 5)  # K lanes + the greedy candidate
+
+    best_t, best_n, nll = jax.jit(lambda p, a, tl, tk, cn: marginal_rescore(
+        p, a, tl, tk, cn, pspec, jspec, chunk_size=4))(
+        params, audio, t_lens, toks, cnts)
+    nll = np.asarray(nll)
+    assert nll.shape == (B, 5)
+    for b in range(B):
+        k = int(np.argmin(nll[b]))
+        assert np.isfinite(nll[b, k])
+        np.testing.assert_array_equal(np.asarray(best_t[b]),
+                                      np.asarray(toks[b, k]))
+        assert int(best_n[b]) == int(cnts[b, k])
+    # Oracle cross-check on one candidate: NLL must equal a direct loss
+    # evaluation of that sequence.
+    from rnnt_tpu.models.predictor import conv_predictor_apply
+    from rnnt_tpu.ops.transducer import transducer_loss
+    b, k = 0, int(np.argmin(nll[0]))
+    U = int(cnts[0, k])
+    seq = np.asarray(toks[0, k, :U], np.int32)
+    tgt = jnp.zeros((1, toks.shape[2]), jnp.int32).at[0, :U].set(seq)
+    prep = jnp.concatenate(
+        [jnp.full((1, 1), jspec.blank_idx, jnp.int32), tgt], axis=1)
+    text = conv_predictor_apply(params["predictor"], prep, pspec)
+    want = float(transducer_loss(
+        params["joint"], audio[:1].astype(text.dtype), text, tgt,
+        t_lens[:1], jnp.array([U]), jspec.blank_idx, chunk_size=4,
+        reduction="none")[0])
+    np.testing.assert_allclose(nll[0, k], want, rtol=2e-4, atol=2e-4)
