@@ -343,8 +343,7 @@ def bench_train_cached(windows: int = 3, window_s: float = 15.0,
     from rnnt_tpu.config.config import (
         build_featurizer_spec, build_model_spec, load_config)
     from rnnt_tpu.data.dataset import Buckets, synthetic_dataset
-    from rnnt_tpu.data.device_cache import (
-        DeviceSampleCache, make_cached_train_step)
+    from rnnt_tpu.data.device_cache import DeviceSampleCache
     from rnnt_tpu.data.tokenizer import UnigramTokenizer
     from rnnt_tpu.models.rnnt import rnnt_init
     from rnnt_tpu.train.optim import make_optimizer
@@ -368,9 +367,13 @@ def bench_train_cached(windows: int = 3, window_s: float = 15.0,
     opt_state = jax.jit(tx.init)(params)
     state = TrainState(params, opt_state, model_state,
                        jnp.zeros((), jnp.int32))
-    step = jax.jit(make_cached_train_step(make_train_step(
+    # Two dispatches per step: tiny gather program + the same train step
+    # the streamed path jits (fusing them compiled 15-20 min on XLA:TPU —
+    # see device_cache.gather_jit).
+    gather = cache.gather_jit()
+    step = jax.jit(make_train_step(
         spec, fspec, tx, cfg.training.precision,
-        device_augment=cfg.data.augment and cfg.data.augment_device)),
+        device_augment=cfg.data.augment and cfg.data.augment_device),
         donate_argnums=(0,))
 
     rng = jax.random.PRNGKey(1)
@@ -384,7 +387,7 @@ def bench_train_cached(windows: int = 3, window_s: float = 15.0,
     gen = batches()
     for _ in range(3):  # compile + warmup
         gi, idx = next(gen)
-        state, metrics = step(state, cache.groups[gi], idx, rng)
+        state, metrics = step(state, gather(cache.groups[gi], idx), rng)
     jax.block_until_ready(metrics["loss"])
 
     values = []
@@ -395,7 +398,8 @@ def bench_train_cached(windows: int = 3, window_s: float = 15.0,
         while time.perf_counter() - t0 < window_s:
             gi, idx = next(gen)
             audio_seconds += cache.batch_audio_seconds(gi, idx)
-            state, metrics = step(state, cache.groups[gi], idx, rng)
+            state, metrics = step(state, gather(cache.groups[gi], idx),
+                                  rng)
             steps += 1
         jax.block_until_ready(metrics["loss"])
         values.append(audio_seconds / (time.perf_counter() - t0))
@@ -578,6 +582,8 @@ if __name__ == "__main__":
     if "--platform" in sys.argv:
         import jax
         jax.config.update("jax_platforms", _argval("--platform", ""))
+    from rnnt_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     if "--decode" in sys.argv:
         bench_decode()
     elif "--beam" in sys.argv:

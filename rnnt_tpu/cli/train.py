@@ -51,6 +51,9 @@ def main(argv=None) -> None:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    from rnnt_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
     # Multi-host startup: the TPU-native replacement for the reference's
     # torchrun/RANK rendezvous (reference rnnt/train.py:25-36).  When the
     # standard coordinator env vars are present, join the distributed

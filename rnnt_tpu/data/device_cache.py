@@ -131,12 +131,51 @@ class DeviceSampleCache:
     def batch_audio_seconds(self, gi: int, idx: np.ndarray) -> float:
         return float(self._host_audio_lens[gi][idx].sum()) / self.sample_rate
 
+    def gather_jit(self, mesh=None):
+        """A jitted (group, idx) -> batch row gather, as its OWN tiny
+        program (compiles in ~1 s).  The training loop runs it back to
+        back with the UNMODIFIED jitted train step — two queued dispatches
+        per step, no bulk H2D, and no extra step compile.  (Fusing the
+        gather INTO the train step — make_cached_train_step — is
+        numerically identical and saves one dispatch, but the combined
+        program took 15-20 min to compile on the XLA:TPU backend vs ~3 min
+        for the plain step; the split costs <1 ms/step and nothing to
+        compile beyond the step the streamed path already built.)"""
+        import jax
+        import jax.numpy as jnp
+
+        shardings = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shardings = {
+                "audio": NamedSharding(mesh, P("data", None)),
+                "audio_lens": NamedSharding(mesh, P("data")),
+                "targets": NamedSharding(mesh, P("data", None)),
+                "target_lens": NamedSharding(mesh, P("data")),
+            }
+
+        def gather(group, idx):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in group.items()}
+            if shardings is not None:
+                batch = {k: jax.lax.with_sharding_constraint(v, shardings[k])
+                         for k, v in batch.items()}
+            return batch
+
+        return jax.jit(gather)
+
 
 def make_cached_train_step(step_fn, mesh=None):
     """Wrap step(state, batch, rng) as step(state, cache_group, idx, rng):
     the batch is gathered from the device-resident group INSIDE the jitted
     program (one dispatch per step, no bulk H2D).  Jit with
-    donate_argnums=(0,) — the cache group must NOT be donated."""
+    donate_argnums=(0,) — the cache group must NOT be donated.
+
+    NOTE: numerically identical to ``gather_jit`` + the plain step, but
+    the fused program measured 15-20 min XLA:TPU compiles (vs ~3 min for
+    the plain step; the standalone gather compiles in ~1 s) — production
+    paths use the two-dispatch split; this stays for single-dispatch
+    deployments where the compile is paid once and cached."""
 
     def cached_step(state, group, idx, rng):
         import jax.numpy as jnp

@@ -283,7 +283,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
     # augmentation-free; in-step device augmentation keeps epochs fresh)
     # and a single process (multi-host keeps the streamed per-shard path).
     cache = None
-    cached_step_fn = cached_warm_fn = None
+    cached_gather = None
     if cfg.data.staging not in ("auto", "stream", "device"):
         raise ValueError(f"data.staging must be auto|stream|device, "
                          f"got {cfg.data.staging!r}")
@@ -293,8 +293,7 @@ def train(cfg: Config, *, output_base: str = "experiments",
                          "augmentation (set data.augment_device: full "
                          "or data.augment: false)")
     if want_cache and augmentor is None and jax.process_count() == 1:
-        from rnnt_tpu.data.device_cache import (
-            DeviceSampleCache, make_cached_train_step)
+        from rnnt_tpu.data.device_cache import DeviceSampleCache
         budget = cfg.data.device_cache_budget_mb << 20
         cache = DeviceSampleCache.build(
             train_ds, tokenizer, buckets, wire_dtype=cfg.data.wire_dtype,
@@ -310,13 +309,10 @@ def train(cfg: Config, *, output_base: str = "experiments",
                 print("note: corpus exceeds device_cache_budget_mb; "
                       "streaming batches")
         else:
-            cached_step_fn = jax.jit(
-                make_cached_train_step(raw_step, mesh=mesh),
-                donate_argnums=(0,))
-            if raw_warm_step is not None:
-                cached_warm_fn = jax.jit(
-                    make_cached_train_step(raw_warm_step, mesh=mesh),
-                    donate_argnums=(0,))
+            # Two dispatches per step: the tiny gather program + the SAME
+            # jitted step the streamed path uses (see gather_jit's note on
+            # why fusing the gather into the step is a compile trap).
+            cached_gather = cache.gather_jit(mesh)
             if is_main:
                 print(f"device sample cache: {cache.n_samples} samples, "
                       f"{cache.nbytes() / 2**20:.1f} MiB in HBM")
@@ -457,9 +453,10 @@ def train(cfg: Config, *, output_base: str = "experiments",
                 if profile and completed - start_step == 2:
                     jax.block_until_ready(state.step)
                     jax.profiler.start_trace(str(output_dir / "trace"))
-                fn = (cached_warm_fn if cached_warm_fn is not None
-                      and completed < warmup_until else cached_step_fn)
-                state, metrics = fn(state, cache.groups[gi], idx, rng)
+                batch = cached_gather(cache.groups[gi], idx)
+                fn = (warm_step_fn if warm_step_fn is not None
+                      and completed < warmup_until else step_fn)
+                state, metrics = fn(state, batch, rng)
                 post_step(epoch, metrics,
                           cache.batch_audio_seconds(gi, idx))
                 if done:

@@ -75,18 +75,22 @@ def test_budget_fallback(tok):
 
 
 def test_cached_gather_equals_host_batch(tok):
-    """The jitted in-step gather returns bit-identical batches to host-side
-    indexing of the same rows."""
+    """Both gather flavors (the production two-dispatch gather_jit and the
+    fused in-step make_cached_train_step) return bit-identical batches to
+    host-side indexing of the same rows."""
     import jax
 
     _, _, cache = _build(tok)
+    gi, idx = next(cache.epoch_batches(4, seed=0))
+
+    got2 = cache.gather_jit()(cache.groups[gi], idx)
     probe = jax.jit(make_cached_train_step(
         lambda state, batch, rng: (state, batch)))
-    gi, idx = next(cache.epoch_batches(4, seed=0))
-    _, got = probe(0, cache.groups[gi], idx, None)
+    _, got1 = probe(0, cache.groups[gi], idx, None)
     for k, v in cache.groups[gi].items():
-        np.testing.assert_array_equal(np.asarray(got[k]),
-                                      np.asarray(v)[idx])
+        want = np.asarray(v)[idx]
+        np.testing.assert_array_equal(np.asarray(got1[k]), want)
+        np.testing.assert_array_equal(np.asarray(got2[k]), want)
 
 
 def test_train_loop_device_staging(tmp_path):
